@@ -1,0 +1,76 @@
+"""Driver benchmark: warp+splat throughput on the real TPU chip.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline (BASELINE.md): >= 50 Mevents/s/chip warp + IWE accumulate.
+
+Measurement notes for this environment (see .claude memory: axon-tpu-timing):
+`jax.block_until_ready` does not block through the axon relay — the benchmark
+reduces to a scalar on device and forces a host readback to synchronize, and
+amortizes over many iterations so the ~30 ms relay round-trip vanishes.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from eincm_tpu.ops.splat import events_to_pdf_frame
+    from eincm_tpu.ops.warp import warp_events_multi_ref
+
+    # DSEC-scale workload: 480x640 sensor, 1.5M events, 2 reference times
+    # (run.sh:99-121 des_n_events=1500000).
+    H, W = 480, 640
+    n_events = 1_500_000
+    n_refs = 2
+
+    rng = np.random.default_rng(0)
+    xs = jnp.asarray(rng.integers(0, W, n_events).astype(np.float32))
+    ys = jnp.asarray(rng.integers(0, H, n_events).astype(np.float32))
+    ts = jnp.asarray(np.sort(rng.uniform(0, 1, n_events)).astype(np.float32))
+    t_refs = jnp.asarray(np.linspace(0, 1, n_refs).astype(np.float32))
+    theta = jnp.asarray(rng.normal(0, 4, (H, W, 2)).astype(np.float32))
+
+    @jax.jit
+    def warp_splat(theta, seed):
+        wx, wy = warp_events_multi_ref(theta, xs, ys, ts, t_refs)
+        wx = wx + seed * 1e-6  # defeat caching across iterations
+        frames = jax.vmap(
+            lambda a, b: events_to_pdf_frame(a, b, (H, W))
+        )(wx, wy)
+        return frames.sum()
+
+    # compile + first sync
+    float(warp_splat(theta, jnp.float32(0.0)))
+
+    iters = 20
+    t0 = time.perf_counter()
+    acc = jnp.float32(0.0)
+    for i in range(iters):
+        acc = acc + warp_splat(theta, jnp.float32(i))
+    _ = float(acc)  # single sync at the end
+    dt = (time.perf_counter() - t0) / iters
+
+    events_per_sec = n_events * n_refs / dt
+    mev = events_per_sec / 1e6
+    baseline_mev = 50.0
+    print(
+        json.dumps(
+            {
+                "metric": "warp_splat_throughput",
+                "value": round(mev, 1),
+                "unit": "Mevents/s/chip",
+                "vs_baseline": round(mev / baseline_mev, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,254 @@
+"""Image-of-Warped-Events (IWE) accumulation, TPU-first.
+
+The reference builds the IWE by scatter-adding a 3x3 window of 2-D standard
+normal pdf values around each (rounded) warped event coordinate
+(reference: src/utils/event_utils.py:13-61, `events_to_pdf_frame`).
+
+Scatter-add is the wrong primitive for a TPU. Because the 2-D Gaussian with
+identity covariance is separable — pdf(qx, qy) = g(qx) * g(qy) with
+g(q) = exp(-q^2/2)/sqrt(2*pi) — each event's windowed splat is a rank-1 outer
+product, so the whole IWE is
+
+    IWE = U^T @ V,   U: (n_events, H), V: (n_events, W)
+
+where U/V are banded matrices holding the per-axis Gaussian weights inside the
+window and zeros elsewhere. Building U/V is pure VPU work (broadcasted iota +
+exp) and the contraction runs on the MXU. Out-of-sensor contributions vanish
+because the iota range only covers the sensor, reproducing the reference's
+`mode='drop'` semantics. Events are processed in fixed-size chunks under
+`lax.scan` so the banded matrices stay small and fuse well.
+
+Gradients flow through g(.) only; the window placement (round) has zero
+gradient — identical to the reference, where the integer cast is
+non-differentiable.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+_INV_SQRT_2PI = 1.0 / math.sqrt(2.0 * math.pi)
+
+# Budget for the banded one-hot matrices of one chunk, in floats. The chunk
+# size (the MXU contraction dimension) is derived from it so small windows run
+# as a single matmul (minimal op count — dispatch overhead dominates small
+# workloads) while huge windows stay within a modest VMEM/HBM footprint.
+_CHUNK_BUDGET_FLOATS = 16 * 1024 * 1024
+
+
+def _auto_chunk(n_events: int, h: int, w: int) -> int:
+    per_event = h + w
+    chunk = max(512, _CHUNK_BUDGET_FLOATS // per_event)
+    chunk = min(chunk, max(512, n_events))
+    # round up to a multiple of 128 for clean MXU tiling
+    return -(-chunk // 128) * 128
+
+
+def _gauss1d(q: jax.Array) -> jax.Array:
+    """Standard normal pdf, one axis of the separable 2-D splat kernel."""
+    return jnp.exp(-0.5 * q * q) * jnp.asarray(_INV_SQRT_2PI, q.dtype)
+
+
+def _axis_weights(coords: jax.Array, n: int, half_window: int) -> jax.Array:
+    """Banded per-axis splat weights.
+
+    Args:
+        coords: (E,) float warped coordinates along this axis.
+        n: axis length (H or W).
+        half_window: window radius (1 for the reference's 3x3 window).
+
+    Returns:
+        (E, n) matrix; row e holds g(i - coords[e]) for integer i within
+        `half_window` of round(coords[e]), zero elsewhere. NaN coords yield
+        all-zero rows (dropped events).
+    """
+    dtype = coords.dtype
+    rounded = jnp.round(coords)  # float; exact integers within f32 range
+    idx = jax.lax.broadcasted_iota(dtype, (coords.shape[0], n), dimension=1)
+    # |i - round(c)| <= half_window, computed in float: both are exact ints.
+    in_band = jnp.abs(idx - rounded[:, None]) <= (half_window + 0.5)
+    q = idx - coords[:, None]
+    return jnp.where(in_band, _gauss1d(q), jnp.zeros((), dtype))
+
+
+@partial(jax.jit, static_argnames=("sensor_size", "window_size", "chunk_size"))
+def events_to_pdf_frame(
+    xs: jax.Array,
+    ys: jax.Array,
+    sensor_size: Tuple[int, int] = (260, 346),
+    window_size: int = 3,
+    chunk_size: int | None = None,
+) -> jax.Array:
+    """IWE via separable one-hot matmuls (MXU path).
+
+    Matches reference `events_to_pdf_frame` (src/utils/event_utils.py:13-61):
+    each event deposits a 3x3 (window_size x window_size) patch of 2-D standard
+    normal pdf values centred at its rounded coordinate; out-of-sensor texels
+    are dropped.
+
+    Args:
+        xs, ys: (E,) float warped event coordinates (x = column, y = row).
+        sensor_size: (H, W).
+        window_size: odd window size; radius = window_size // 2.
+        chunk_size: events per scan step (MXU contraction dim); None = auto.
+
+    Returns:
+        (H, W) accumulation frame, dtype of xs (floating).
+    """
+    H, W = sensor_size
+    hw = window_size // 2
+    if chunk_size is None:
+        chunk_size = _auto_chunk(xs.shape[0], H, W)
+    dtype = jnp.result_type(xs.dtype, jnp.float32)
+    xs = xs.astype(dtype)
+    ys = ys.astype(dtype)
+
+    n = xs.shape[0]
+    n_chunks = max(1, -(-n // chunk_size))
+    pad = n_chunks * chunk_size - n
+    if pad:
+        # NaN-pad: padded events fall outside every band and contribute zero.
+        fill = jnp.full((pad,), jnp.nan, dtype)
+        xs = jnp.concatenate([xs, fill])
+        ys = jnp.concatenate([ys, fill])
+
+    if n_chunks == 1:
+        # single matmul, no scan machinery
+        u = _axis_weights(ys, H, hw)
+        v = _axis_weights(xs, W, hw)
+        return jax.lax.dot_general(
+            u,
+            v,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=dtype,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    xs = xs.reshape(n_chunks, chunk_size)
+    ys = ys.reshape(n_chunks, chunk_size)
+
+    def step(frame, chunk):
+        cx, cy = chunk
+        u = _axis_weights(cy, H, hw)  # (E, H)
+        v = _axis_weights(cx, W, hw)  # (E, W)
+        frame = frame + jax.lax.dot_general(
+            u,
+            v,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=dtype,
+            # Full f32 accuracy: the pdf weights feed BFGS gradients, and the
+            # default (single-pass bf16 on MXU) loses ~3 decimal digits.
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return frame, None
+
+    frame0 = jnp.zeros((H, W), dtype)
+    frame, _ = jax.lax.scan(step, frame0, (xs, ys))
+    return frame
+
+
+@partial(jax.jit, static_argnames=("sensor_size", "window_size"))
+def events_to_pdf_frame_scatter(
+    xs: jax.Array,
+    ys: jax.Array,
+    sensor_size: Tuple[int, int] = (260, 346),
+    window_size: int = 3,
+) -> jax.Array:
+    """IWE via scatter-add — numerical oracle for the matmul path.
+
+    Same math as the reference kernel (src/utils/event_utils.py:31-61) with
+    one deliberate deviation: the reference's `.at[rs, cs].add(mode='drop')`
+    applies Python negative-index *wrapping* before dropping, so splat texels
+    at coordinate -1..-n wrap to the opposite sensor edge. That is a physical
+    artifact (mass teleports across the sensor); both this oracle and the
+    matmul path drop out-of-sensor texels on every side instead.
+    """
+    H, W = sensor_size
+    dtype = jnp.result_type(xs.dtype, jnp.float32)
+    xs = xs.astype(dtype)
+    ys = ys.astype(dtype)
+    rx = jnp.round(xs)
+    ry = jnp.round(ys)
+    rxi = rx.astype(jnp.int32)
+    ryi = ry.astype(jnp.int32)
+
+    frame = jnp.zeros((H, W), dtype)
+    hw = window_size // 2
+    for dx in range(-hw, hw + 1):
+        for dy in range(-hw, hw + 1):
+            qx = (rx + dx) - xs
+            qy = (ry + dy) - ys
+            pdf = _gauss1d(qx) * _gauss1d(qy)
+            # NaN coords must drop, not poison pixel (0,0) via int-cast UB;
+            # negative indices are forced out-of-range so 'drop' really drops
+            # them instead of wrapping.
+            valid = jnp.isfinite(qx) & jnp.isfinite(qy)
+            pdf = jnp.where(valid, pdf, 0.0)
+            rows = jnp.where(valid & (ryi + dy >= 0), ryi + dy, H)
+            cols = jnp.where(valid & (rxi + dx >= 0), rxi + dx, W)
+            frame = frame.at[rows, cols].add(pdf, mode="drop")
+    return frame
+
+
+@partial(jax.jit, static_argnames=("sensor_size", "chunk_size"))
+def event_counts(
+    xs: jax.Array,
+    ys: jax.Array,
+    sensor_size: Tuple[int, int],
+    chunk_size: int | None = None,
+) -> jax.Array:
+    """Per-pixel event counts via one-hot matmuls (no scatter).
+
+    Coordinates are truncated toward zero like the reference's
+    `.astype(jnp.int16)` (src/utils/event_utils.py:76); event coordinates are
+    integral in practice so trunc == round there.
+    """
+    H, W = sensor_size
+    dtype = jnp.float32
+    xi = jnp.trunc(xs.astype(dtype))
+    yi = jnp.trunc(ys.astype(dtype))
+
+    if chunk_size is None:
+        chunk_size = _auto_chunk(xs.shape[0], H, W)
+    n = xi.shape[0]
+    n_chunks = max(1, -(-n // chunk_size))
+    pad = n_chunks * chunk_size - n
+    if pad:
+        fill = jnp.full((pad,), jnp.nan, dtype)
+        xi = jnp.concatenate([xi, fill])
+        yi = jnp.concatenate([yi, fill])
+    xi = xi.reshape(n_chunks, chunk_size)
+    yi = yi.reshape(n_chunks, chunk_size)
+
+    def onehot(c, n_axis):
+        idx = jax.lax.broadcasted_iota(dtype, (c.shape[0], n_axis), 1)
+        return (idx == c[:, None]).astype(dtype)
+
+    def step(counts, chunk):
+        cx, cy = chunk
+        u = onehot(cy, H)
+        v = onehot(cx, W)
+        # One-hot values (0/1) are exact in bf16 and accumulation is f32, so
+        # default precision is already exact here.
+        counts = counts + jax.lax.dot_general(
+            u, v, (((0,), (0,)), ((), ())), preferred_element_type=dtype
+        )
+        return counts, None
+
+    counts, _ = jax.lax.scan(step, jnp.zeros((H, W), dtype), (xi, yi))
+    return counts
+
+
+def make_event_mask(
+    xs: jax.Array, ys: jax.Array, sensor_size: Tuple[int, int]
+) -> jax.Array:
+    """Boolean mask of pixels containing at least one event.
+
+    Reference: src/utils/event_utils.py:64-77 (`make_event_mask`).
+    """
+    return event_counts(xs, ys, sensor_size) > 0

@@ -1,0 +1,151 @@
+"""Per-event warping under a per-pixel velocity field ("theta").
+
+Reference semantics (src/eincm/event_warpers.py:6-37, `per_pix_warp`):
+coordinates are rounded to integers, the velocity at that pixel is gathered,
+and the event is displaced back in time to `t_ref`:
+
+    x' = round(x) - theta[round(y), round(x), 0] * (t - t_ref) * delta_time
+    y' = round(y) - theta[round(y), round(x), 1] * (t - t_ref) * delta_time
+
+The gather indices are the *unwarped* integer event coordinates, which are
+fixed for a whole solve — we gather the per-event velocity once and reuse it
+for every reference time (the reference instead re-gathers inside a vmap over
+reference times, src/eincm/losses.py:26,58).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+# Event-chunk budget for the backward one-hot matmuls (floats per chunk
+# operand); see eincm_tpu.ops.splat for the same pattern.
+_BWD_CHUNK_BUDGET = 16 * 1024 * 1024
+
+
+@jax.custom_vjp
+def gather_theta_at_events(
+    theta: jax.Array, xs: jax.Array, ys: jax.Array
+) -> jax.Array:
+    """Gather per-event velocities theta[round(y), round(x), :] -> (E, 2).
+
+    Forward is a plain XLA gather. The VJP w.r.t. theta is NOT the default
+    scatter-add (which serializes on TPU — it cost ~30 ms per loss+grad at
+    just 8k events); instead the transpose is computed as banded one-hot
+    matmuls on the MXU:   dtheta[h, w, c] = sum_e 1[h=y_e] 1[w=x_e] g[e, c].
+    """
+    xi = jnp.round(xs).astype(jnp.int32)
+    yi = jnp.round(ys).astype(jnp.int32)
+    return theta[yi, xi, :]
+
+
+def _gather_fwd(theta, xs, ys):
+    return gather_theta_at_events(theta, xs, ys), (theta, xs, ys)
+
+
+def _gather_bwd(res, g):
+    theta, xs, ys = res
+    (h, w, c), dtype = theta.shape, theta.dtype
+    e = xs.shape[0]
+
+    chunk = max(512, _BWD_CHUNK_BUDGET // (h + w * c))
+    chunk = min(chunk, max(512, e))
+    chunk = -(-chunk // 128) * 128
+    n_chunks = max(1, -(-e // chunk))
+    pad = n_chunks * chunk - e
+
+    xi = jnp.round(xs.astype(jnp.float32))
+    yi = jnp.round(ys.astype(jnp.float32))
+    g = g.astype(jnp.float32)
+    if pad:
+        fill = jnp.full((pad,), -1.0, jnp.float32)  # matches no pixel
+        xi = jnp.concatenate([xi, fill])
+        yi = jnp.concatenate([yi, fill])
+        g = jnp.concatenate([g, jnp.zeros((pad, c), jnp.float32)])
+
+    def onehot(coord, n_axis):
+        idx = jax.lax.broadcasted_iota(jnp.float32, (coord.shape[0], n_axis), 1)
+        return (idx == coord[:, None]).astype(jnp.float32)
+
+    def step(acc, args):
+        cxi, cyi, cg = args
+        oy = onehot(cyi, h)  # (E, H)
+        ox = onehot(cxi, w)  # (E, W)
+        rhs = (ox[:, :, None] * cg[:, None, :]).reshape(-1, w * c)  # (E, W*C)
+        acc = acc + jax.lax.dot_general(
+            oy,
+            rhs,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return acc, None
+
+    acc0 = jnp.zeros((h, w * c), jnp.float32)
+    if n_chunks == 1:
+        acc, _ = step(acc0, (xi, yi, g))
+    else:
+        acc, _ = jax.lax.scan(
+            step,
+            acc0,
+            (
+                xi.reshape(n_chunks, chunk),
+                yi.reshape(n_chunks, chunk),
+                g.reshape(n_chunks, chunk, c),
+            ),
+        )
+    # Event coordinates only enter through round() -> zero cotangent.
+    return acc.reshape(h, w, c).astype(dtype), jnp.zeros_like(xs), jnp.zeros_like(ys)
+
+
+gather_theta_at_events.defvjp(_gather_fwd, _gather_bwd)
+
+
+@jax.jit
+def per_pix_warp(
+    theta: jax.Array,
+    xs: jax.Array,
+    ys: jax.Array,
+    ts: jax.Array,
+    t_ref: jax.Array,
+    delta_time: float = 1.0,
+) -> Tuple[jax.Array, jax.Array]:
+    """Warp events to `t_ref` under per-pixel velocity `theta` (H, W, 2).
+
+    Reference: src/eincm/event_warpers.py:6-37.
+    """
+    xi = jnp.round(xs)
+    yi = jnp.round(ys)
+    th = gather_theta_at_events(theta, xs, ys)
+    dts = (ts - t_ref) * delta_time
+    warped_xs = xi - th[:, 0] * dts
+    warped_ys = yi - th[:, 1] * dts
+    return warped_xs, warped_ys
+
+
+def warp_events_multi_ref(
+    theta: jax.Array,
+    xs: jax.Array,
+    ys: jax.Array,
+    ts: jax.Array,
+    t_refs: jax.Array,
+    delta_time: float = 1.0,
+) -> Tuple[jax.Array, jax.Array]:
+    """Warp the same events to several reference times at once.
+
+    The theta gather happens once; each reference time is then a pure
+    elementwise displacement (broadcast over the leading refs axis).
+
+    Returns:
+        (n_refs, E) warped xs and ys.
+    """
+    xi = jnp.round(xs)
+    yi = jnp.round(ys)
+    th = gather_theta_at_events(theta, xs, ys)  # (E, 2)
+    dts = (ts[None, :] - t_refs[:, None]) * delta_time  # (n_refs, E)
+    warped_xs = xi[None, :] - th[None, :, 0] * dts
+    warped_ys = yi[None, :] - th[None, :, 1] * dts
+    return warped_xs, warped_ys

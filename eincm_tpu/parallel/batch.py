@@ -1,0 +1,138 @@
+"""Multi-window batching and multi-chip sharding of the EINCM solve.
+
+The reference is strictly single-device and sequential over event windows
+(src/experiments/e00/exp_mgr.py:620). On TPU the dominant axis of scale is
+the window axis: windows are independent given their priors, so they batch
+under `vmap` and shard over a `jax.sharding.Mesh` ("windows" axis = data
+parallelism; SURVEY.md §2.3).
+
+The sequential handover prior chain (window i depends on i-1,
+src/eincm/solver.py:254-255) is handled by a two-pass schedule:
+
+  pass 1: all windows solve in parallel with no prior (is_first semantics);
+  pass 2: priors taken from the previous window's pass-1 result, all windows
+          re-solve the (cheap) handover blend in parallel.
+
+This trades one extra blend pass for full parallelism across chips — the
+strategy pre-identified in SURVEY.md §7 "hard parts".
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from eincm_tpu.models.pyramid import (
+    SolveResult,
+    SolverConfig,
+    WindowSample,
+    solve_window,
+)
+
+
+def make_window_mesh(n_devices: Optional[int] = None) -> Mesh:
+    """1-D device mesh over the window (data-parallel) axis."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), axis_names=("windows",))
+
+
+def solve_window_batch(
+    cfg: SolverConfig,
+    batch: WindowSample,
+    prior_pyrs: Optional[Tuple[jax.Array, ...]] = None,
+    is_first: bool = True,
+) -> SolveResult:
+    """vmapped multi-window solve (single device or under outer sharding).
+
+    Args:
+        batch: WindowSample with a leading batch axis on every field.
+        prior_pyrs: optional tuple of (B, h_l, w_l, 2) priors per level.
+    """
+    b = batch.xs.shape[0]
+    if prior_pyrs is None:
+        prior_pyrs = tuple(
+            jnp.broadcast_to(z, (b, *z.shape))
+            for z in cfg.zero_pyramid(batch.xs.dtype)
+        )
+    fn = jax.vmap(partial(solve_window, cfg, is_first_sample=is_first))
+    return fn(batch, prior_pyrs)
+
+
+def solve_window_batch_sharded(
+    cfg: SolverConfig,
+    batch: WindowSample,
+    mesh: Mesh,
+    prior_pyrs: Optional[Tuple[jax.Array, ...]] = None,
+    is_first: bool = True,
+) -> SolveResult:
+    """Multi-window solve sharded across `mesh` on the leading batch axis.
+
+    Every input/output leaf is partitioned on its first axis over the
+    "windows" mesh axis; the per-window computation itself needs no
+    collectives (windows are independent), so XLA runs one fully parallel
+    program per chip over ICI-free data.
+    """
+    shard = NamedSharding(mesh, P("windows"))
+
+    b = batch.xs.shape[0]
+    if prior_pyrs is None:
+        prior_pyrs = tuple(
+            jnp.broadcast_to(z, (b, *z.shape))
+            for z in cfg.zero_pyramid(batch.xs.dtype)
+        )
+
+    batch = jax.tree_util.tree_map(lambda x: jax.device_put(x, shard), batch)
+    prior_pyrs = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, shard), prior_pyrs
+    )
+
+    fn = jax.jit(
+        jax.vmap(partial(solve_window, cfg, is_first_sample=is_first)),
+        out_shardings=shard,
+    )
+    return fn(batch, prior_pyrs)
+
+
+def two_pass_sequence_solve(
+    cfg: SolverConfig,
+    batch: WindowSample,
+    mesh: Optional[Mesh] = None,
+) -> Tuple[SolveResult, Tuple[jax.Array, ...]]:
+    """Whole-sequence solve with the two-pass handover schedule.
+
+    Pass 1 solves every window in parallel without priors. Pass 2 shifts the
+    pass-1 final pyramids by one window (window i gets window i-1's result as
+    its prior) and re-solves in parallel with handover enabled. Window 0 keeps
+    its pass-1 result (first-sample semantics, src/eincm/solver.py:305-306).
+
+    Returns:
+        (pass-2 SolveResult, final theta pyramids per window).
+    """
+    solve = (
+        partial(solve_window_batch_sharded, cfg, mesh=mesh)
+        if mesh is not None
+        else partial(solve_window_batch, cfg)
+    )
+
+    pass1 = solve(batch, is_first=True)
+
+    # priors for window i = pass-1 result of window i-1; window 0 self-prior
+    # (its handover result is discarded below).
+    prior_pyrs = tuple(
+        jnp.concatenate([lvl[:1], lvl[:-1]], axis=0)
+        for lvl in pass1.final_theta_pyr
+    )
+    pass2 = solve(batch, prior_pyrs=prior_pyrs, is_first=False)
+
+    final = tuple(
+        jnp.concatenate([p1[:1], p2[1:]], axis=0)
+        for p1, p2 in zip(pass1.final_theta_pyr, pass2.final_theta_pyr)
+    )
+    return pass2, final

@@ -1,0 +1,30 @@
+"""Test configuration: force a virtual 8-device CPU mesh before JAX imports.
+
+Multi-chip sharding paths are exercised on CPU via
+`--xla_force_host_platform_device_count` (SURVEY.md §4 test strategy).
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+# Force CPU: tests exercise multi-chip sharding on the virtual CPU mesh and
+# must not depend on (or monopolize) the single real TPU chip. The host's
+# sitecustomize force-registers the TPU plugin and resets jax_platforms, so
+# the env var alone is not enough — override the config after import too.
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)

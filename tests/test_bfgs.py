@@ -1,0 +1,117 @@
+"""On-device BFGS vs scipy on standard problems."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.optimize as sopt
+
+from eincm_tpu.models.bfgs import minimize_bfgs, minimize_bounded_scalar
+
+
+def _fg(f):
+    vg = jax.value_and_grad(f)
+    return lambda x: vg(x)
+
+
+def test_quadratic_exact():
+    A = jnp.array([[3.0, 1.0], [1.0, 2.0]])
+    b = jnp.array([1.0, -2.0])
+
+    def f(x):
+        return 0.5 * x @ A @ x - b @ x
+
+    res = minimize_bfgs(_fg(f), jnp.array([5.0, 5.0]), maxiter=50, gtol=1e-4)
+    x_expected = np.linalg.solve(np.asarray(A), np.asarray(b))
+    assert bool(res.success)
+    np.testing.assert_allclose(np.asarray(res.x), x_expected, atol=1e-4)
+
+
+def test_rosenbrock_matches_scipy():
+    def f(x):
+        return (1 - x[0]) ** 2 + 100.0 * (x[1] - x[0] ** 2) ** 2
+
+    x0 = jnp.array([-1.2, 1.0])
+    res = minimize_bfgs(_fg(f), x0, maxiter=200, gtol=1e-5)
+    assert bool(res.success)
+    np.testing.assert_allclose(np.asarray(res.x), [1.0, 1.0], atol=1e-3)
+
+    sres = sopt.minimize(
+        lambda x: float(f(jnp.asarray(x))), np.array([-1.2, 1.0]), method="BFGS"
+    )
+    assert float(res.fun_val) <= sres.fun + 1e-6
+
+
+def test_high_dim_quadratic():
+    rng = np.random.default_rng(0)
+    d = 64
+    m = rng.normal(size=(d, d))
+    A = jnp.asarray(m @ m.T + d * np.eye(d), jnp.float32)
+    b = jnp.asarray(rng.normal(size=d), jnp.float32)
+
+    def f(x):
+        return 0.5 * x @ A @ x - b @ x
+
+    # gtol is bounded below by f32 resolution of f (~ |f| * eps / step);
+    # the solution itself converges to ~1e-5.
+    res = minimize_bfgs(_fg(f), jnp.zeros(d), maxiter=300, gtol=5e-3)
+    x_expected = np.linalg.solve(np.asarray(A), np.asarray(b))
+    assert bool(res.success)
+    np.testing.assert_allclose(np.asarray(res.x), x_expected, atol=1e-3)
+
+
+def test_maxiter_respected():
+    def f(x):
+        return (1 - x[0]) ** 2 + 100.0 * (x[1] - x[0] ** 2) ** 2
+
+    res = minimize_bfgs(_fg(f), jnp.array([-1.2, 1.0]), maxiter=3, gtol=1e-12)
+    assert int(res.iter_num) <= 3
+    assert not bool(res.success)
+    assert int(res.status) == 1
+
+
+def test_already_converged():
+    def f(x):
+        return (x**2).sum()
+
+    res = minimize_bfgs(_fg(f), jnp.zeros(3), maxiter=10, gtol=1e-5)
+    assert bool(res.success)
+    assert int(res.iter_num) == 0
+
+
+def test_jittable_and_gradable_through():
+    def f(x):
+        return ((x - 2.0) ** 2).sum()
+
+    run = jax.jit(lambda x0: minimize_bfgs(_fg(f), x0, maxiter=20).x)
+    out = run(jnp.zeros(4))
+    np.testing.assert_allclose(np.asarray(out), 2.0, atol=1e-4)
+
+
+def test_nonconvex_decreases():
+    def f(x):
+        return jnp.sin(3 * x[0]) * jnp.cos(2 * x[1]) + 0.1 * (x**2).sum()
+
+    x0 = jnp.array([0.5, 0.5])
+    res = minimize_bfgs(_fg(f), x0, maxiter=100)
+    assert float(res.fun_val) < float(f(x0))
+
+
+class TestBoundedScalar:
+    def test_parabola_interior(self):
+        x, fx = minimize_bounded_scalar(lambda w: (w - 0.3) ** 2, (0.0, 1.0))
+        assert np.isclose(float(x), 0.3, atol=1e-4)
+
+    def test_minimum_at_bound(self):
+        x, fx = minimize_bounded_scalar(lambda w: w, (0.2, 0.9))
+        assert np.isclose(float(x), 0.2, atol=1e-4)
+
+    def test_matches_scipy_lbfgsb(self):
+        def f(w):
+            return jnp.sin(5 * w) + 0.5 * w**2
+
+        x, fx = minimize_bounded_scalar(f, (0.0, 1.0), maxiter=40)
+        sres = sopt.minimize_scalar(
+            lambda w: float(f(jnp.asarray(w))), bounds=(0.0, 1.0), method="bounded"
+        )
+        assert float(fx) <= sres.fun + 1e-5

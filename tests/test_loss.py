@@ -1,0 +1,180 @@
+"""Loss composition, window statics, and gradient-path tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from eincm_tpu.models.loss import (
+    LossParams,
+    LossStatics,
+    compute_loss_objectives,
+    compute_weights_for_multi_reference,
+    compute_window_statics,
+    handover_loss_func,
+    loss_func,
+)
+from eincm_tpu.ops.warp import gather_theta_at_events
+
+SENSOR = (24, 32)
+
+
+@pytest.fixture
+def window(rng):
+    n = 400
+    xs = jnp.asarray(rng.integers(0, SENSOR[1], n).astype(np.float32))
+    ys = jnp.asarray(rng.integers(0, SENSOR[0], n).astype(np.float32))
+    ts = jnp.asarray(np.sort(rng.uniform(0, 1, n)).astype(np.float32))
+    edges = jnp.asarray(rng.uniform(0, 1, (2, *SENSOR)).astype(np.float32))
+    edge_ts = jnp.array([0.0, 1.0], jnp.float32)
+    return xs, ys, ts, edges, edge_ts
+
+
+class TestMultiRefWeights:
+    def test_matches_scipy_norm_pdf(self):
+        import scipy.stats as stats
+
+        for n in [1, 2, 3, 5]:
+            w = compute_weights_for_multi_reference(n)
+            q = np.linspace(-1.5, 1.5, n)
+            ref = stats.norm.pdf(q, 0, 1)
+            ref = ref / ref.sum()
+            np.testing.assert_allclose(w, ref, rtol=1e-12)
+            assert np.isclose(w.sum(), 1.0)
+
+
+class TestGatherVJP:
+    def test_backward_matches_autodiff_scatter(self, rng):
+        h, w = 12, 17
+        theta = jnp.asarray(rng.normal(0, 1, (h, w, 2)).astype(np.float32))
+        xs = jnp.asarray(rng.integers(0, w, 300).astype(np.float32))
+        ys = jnp.asarray(rng.integers(0, h, 300).astype(np.float32))
+        cot = jnp.asarray(rng.normal(0, 1, (300, 2)).astype(np.float32))
+
+        def f_custom(t):
+            return (gather_theta_at_events(t, xs, ys) * cot).sum()
+
+        def f_plain(t):
+            xi = jnp.round(xs).astype(jnp.int32)
+            yi = jnp.round(ys).astype(jnp.int32)
+            return (t[yi, xi, :] * cot).sum()
+
+        g_custom = jax.grad(f_custom)(theta)
+        g_plain = jax.grad(f_plain)(theta)
+        np.testing.assert_allclose(
+            np.asarray(g_custom), np.asarray(g_plain), rtol=1e-4, atol=1e-5
+        )
+
+
+class TestLoss:
+    def test_zero_theta_baseline(self, window):
+        """At theta=0 warped == unwarped, so every relative objective is 1
+        and the loss is -(alpha+beta)/n_refs * sum(w) = -(alpha+beta)*mean(w)."""
+        xs, ys, ts, edges, edge_ts = window
+        params = LossParams(alpha=60.0, beta=60.0)
+        statics = LossStatics(SENSOR, 3)
+        theta = jnp.zeros((4, 4, 2))
+        loss, aux = loss_func(
+            theta, xs, ys, ts, edges, edge_ts, params, 2, statics
+        )
+        n_refs = edges.shape[0]
+        w = compute_weights_for_multi_reference(n_refs)
+        expected = -(60.0 + 60.0) * w.mean()
+        assert np.isclose(float(loss), expected, rtol=1e-4)
+        assert np.isclose(float(aux["mean_rel_contrast"]), w.mean(), rtol=1e-4)
+
+    def test_window_statics_match_inline(self, window):
+        xs, ys, ts, edges, edge_ts = window
+        params = LossParams(alpha=20.0, beta=35.0, gamma=0.01, delta=0.5)
+        statics = LossStatics(SENSOR, 3)
+        theta = jnp.asarray(
+            np.random.default_rng(1).normal(0, 1, (4, 4, 2)).astype(np.float32)
+        )
+        ws = compute_window_statics(xs, ys, edges, SENSOR)
+        l1, _ = loss_func(theta, xs, ys, ts, edges, edge_ts, params, 0, statics)
+        l2, _ = loss_func(
+            theta, xs, ys, ts, edges, edge_ts, params, 0, statics, ws
+        )
+        assert np.isclose(float(l1), float(l2), rtol=1e-6)
+
+    def test_tv_only_at_finest_level(self, window):
+        xs, ys, ts, edges, edge_ts = window
+        params = LossParams(alpha=0.0, beta=0.0, gamma=5.0, delta=0.0)
+        statics = LossStatics(SENSOR, 3)
+        theta = jnp.asarray(
+            np.random.default_rng(2).normal(0, 2, (4, 4, 2)).astype(np.float32)
+        )
+        l0, _ = loss_func(theta, xs, ys, ts, edges, edge_ts, params, 0, statics)
+        l1, _ = loss_func(theta, xs, ys, ts, edges, edge_ts, params, 1, statics)
+        assert float(l0) > 0.0  # TV active
+        assert np.isclose(float(l1), 0.0, atol=1e-7)  # TV gated off
+
+    def test_loss_is_differentiable(self, window):
+        xs, ys, ts, edges, edge_ts = window
+        params = LossParams(alpha=60.0, beta=60.0)
+        statics = LossStatics(SENSOR, 3)
+
+        def f(theta):
+            l, _ = loss_func(theta, xs, ys, ts, edges, edge_ts, params, 0, statics)
+            return l
+
+        g = jax.grad(f)(jnp.zeros((4, 4, 2)))
+        assert g.shape == (4, 4, 2)
+        assert np.all(np.isfinite(np.asarray(g)))
+        assert float(jnp.abs(g).sum()) > 0
+
+    def test_gradient_matches_finite_difference(self, window):
+        xs, ys, ts, edges, edge_ts = window
+        params = LossParams(alpha=60.0, beta=60.0)
+        statics = LossStatics(SENSOR, 3)
+
+        def f(s):
+            theta = jnp.full((2, 2, 2), 0.0).at[..., 0].set(s)
+            l, _ = loss_func(theta, xs, ys, ts, edges, edge_ts, params, 1, statics)
+            return l
+
+        g = float(jax.grad(f)(0.3))
+        eps = 1e-2
+        fd = (f(0.3 + eps) - f(0.3 - eps)) / (2 * eps)
+        assert np.isclose(g, float(fd), rtol=5e-2, atol=1e-3)
+
+    def test_objectives_bundle_keys(self, window):
+        xs, ys, ts, edges, edge_ts = window
+        theta = jnp.zeros((*SENSOR, 2))
+        objs = compute_loss_objectives(theta, xs, ys, ts, edges, edge_ts, SENSOR)
+        for k in [
+            "warped_xs", "correlations", "zero_correlations", "rel_correlations",
+            "contrasts", "zero_contrast", "rel_contrasts",
+            "theta_total_variation", "theta_divergence", "iwe_divergences",
+            "zero_iwe_divergence", "rel_iwe_divergences", "flow_warp_losses",
+            "multi_ref_weights",
+        ]:
+            assert k in objs, k
+        assert objs["warped_xs"].shape == (2, xs.shape[0])
+        # zero theta: FWL == 1 for every ref
+        np.testing.assert_allclose(
+            np.asarray(objs["flow_warp_losses"]), 1.0, rtol=1e-5
+        )
+
+    def test_handover_loss_endpoints(self, window):
+        xs, ys, ts, edges, edge_ts = window
+        params = LossParams(alpha=60.0, beta=60.0)
+        statics = LossStatics(SENSOR, 3)
+        rng2 = np.random.default_rng(3)
+        prev = jnp.asarray(rng2.normal(0, 1, (4, 4, 2)).astype(np.float32))
+        cur = jnp.asarray(rng2.normal(0, 1, (4, 4, 2)).astype(np.float32))
+
+        def lf(th):
+            l, _ = loss_func(th, xs, ys, ts, edges, edge_ts, params, 0, statics)
+            return float(l)
+
+        ho0 = handover_loss_func(
+            jnp.asarray(0.0), prev, cur, xs, ys, ts, edges, edge_ts,
+            params, 0, statics,
+        )
+        ho1 = handover_loss_func(
+            jnp.asarray(1.0), prev, cur, xs, ys, ts, edges, edge_ts,
+            params, 0, statics,
+        )
+        assert np.isclose(float(ho0), lf(cur), rtol=1e-5)
+        assert np.isclose(float(ho1), lf(prev), rtol=1e-5)

@@ -1,0 +1,156 @@
+"""End-to-end multi-level solve on synthetic events with known flow."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from eincm_tpu.models.loss import LossParams
+from eincm_tpu.models.pyramid import (
+    HandoverSettings,
+    SolverConfig,
+    WindowSample,
+    make_window_solver,
+    solve_window,
+)
+from eincm_tpu.ops.filters import gaussian_blur_3x3
+from eincm_tpu.ops.normalize import normalize_to_unit_range
+from eincm_tpu.ops.resize import scale_theta_to_sensor_size
+from eincm_tpu.ops.splat import events_to_pdf_frame
+
+
+def make_scene(rng, H=48, W=48, v=(2.0, -1.5), n_feat=40, n_ev=4096):
+    """Moving-dots scene: features translate with constant velocity v."""
+    feat = rng.uniform(6, min(H, W) - 10, size=(n_feat, 2))
+    ts = rng.uniform(0, 1, n_ev).astype(np.float32)
+    which = rng.integers(0, n_feat, n_ev)
+    xs = np.round(feat[which, 0] + v[0] * ts).astype(np.float32)
+    ys = np.round(feat[which, 1] + v[1] * ts).astype(np.float32)
+
+    def edge_map(t):
+        ex = jnp.asarray(feat[:, 0] + v[0] * t)
+        ey = jnp.asarray(feat[:, 1] + v[1] * t)
+        m = events_to_pdf_frame(ex, ey, (H, W))
+        return normalize_to_unit_range(gaussian_blur_3x3(m))
+
+    edges = jnp.stack([edge_map(0.0), edge_map(1.0)])
+    edge_ts = jnp.array([0.0, 1.0], jnp.float32)
+    sample = WindowSample(
+        xs=jnp.asarray(xs), ys=jnp.asarray(ys), ts=jnp.asarray(ts),
+        edges=edges, edge_ts=edge_ts,
+    )
+    return sample, np.asarray(v)
+
+
+def base_cfg(H=48, W=48, **kw):
+    defaults = dict(
+        n_pyr_lvls=4,
+        sensor_size=(H, W),
+        params=LossParams(alpha=60.0, beta=0.0),
+        theta_opt_maxiters=(20, 15, 10, 10),
+        theta_gtol=1e-4,
+        handover=HandoverSettings(use_handover=True),
+    )
+    defaults.update(kw)
+    return SolverConfig(**defaults)
+
+
+class TestSolveWindow:
+    def test_recovers_constant_flow(self, rng):
+        sample, v = make_scene(rng)
+        cfg = base_cfg()
+        res = solve_window(cfg, sample, cfg.zero_pyramid(), is_first_sample=True)
+
+        full = np.asarray(
+            scale_theta_to_sensor_size(res.final_theta_pyr[0], cfg.sensor_size)
+        )
+        iy = np.asarray(sample.ys).astype(int)
+        ix = np.asarray(sample.xs).astype(int)
+        aee = np.linalg.norm(full[iy, ix] - v[None, :], axis=-1).mean()
+        aee_zero = np.linalg.norm(v)
+        assert aee < 0.5 * aee_zero, f"AEE {aee} vs zero-theta {aee_zero}"
+
+    def test_pyramid_shapes(self, rng):
+        sample, _ = make_scene(rng)
+        cfg = base_cfg()
+        res = solve_window(cfg, sample, cfg.zero_pyramid(), is_first_sample=True)
+        for lvl in range(cfg.n_pyr_lvls):
+            assert res.final_theta_pyr[lvl].shape == (*cfg.level_shape(lvl), 2)
+        assert cfg.level_shape(0) == (8, 8)
+        assert cfg.level_shape(3) == (1, 1)
+
+    def test_first_sample_skips_handover(self, rng):
+        sample, _ = make_scene(rng)
+        cfg = base_cfg()
+        res = solve_window(cfg, sample, cfg.zero_pyramid(), is_first_sample=True)
+        for lvl in range(cfg.n_pyr_lvls):
+            np.testing.assert_array_equal(
+                np.asarray(res.final_theta_pyr[lvl]),
+                np.asarray(res.pre_handover_theta_pyr[lvl]),
+            )
+
+    def test_fixed_handover_blend(self, rng):
+        sample, _ = make_scene(rng)
+        cfg = base_cfg(
+            handover=HandoverSettings(use_handover=True, alpha_handover=0.3),
+        )
+        first = solve_window(cfg, sample, cfg.zero_pyramid(), is_first_sample=True)
+        second = solve_window(
+            cfg, sample, first.final_theta_pyr, is_first_sample=False
+        )
+        for lvl in range(cfg.n_pyr_lvls):
+            w = float(second.final_handover_weights[lvl])
+            assert np.isclose(w, 0.3)
+            blended = (
+                w * np.asarray(second.prior_theta_pyr[lvl])
+                + (1 - w) * np.asarray(second.pre_handover_theta_pyr[lvl])
+            )
+            np.testing.assert_allclose(
+                np.asarray(second.final_theta_pyr[lvl]), blended, rtol=1e-5
+            )
+
+    def test_solved_handover_weight_in_bounds(self, rng):
+        sample, _ = make_scene(rng)
+        cfg = base_cfg(
+            handover=HandoverSettings(
+                use_handover=True,
+                solve_handover_for_levels=(0,),
+                handover_limits=(0.0, 1.0),
+            ),
+            handover_opt_maxiters=(8, 8, 8, 8),
+        )
+        first = solve_window(cfg, sample, cfg.zero_pyramid(), is_first_sample=True)
+        second = solve_window(
+            cfg, sample, first.final_theta_pyr, is_first_sample=False
+        )
+        w0 = float(second.final_handover_weights[0])
+        assert 0.0 <= w0 <= 1.0
+
+    def test_make_window_solver_jit(self, rng):
+        sample, v = make_scene(rng)
+        cfg = base_cfg(n_pyr_lvls=3, theta_opt_maxiters=(10, 8, 8))
+        solver = make_window_solver(cfg)
+        res = solver(sample, cfg.zero_pyramid(), is_first=True)
+        res2 = solver(sample, res.final_theta_pyr, is_first=False)
+        assert np.all(np.isfinite(np.asarray(res2.final_theta_pyr[0])))
+
+    def test_downscaled_finest_priors(self, rng):
+        sample, _ = make_scene(rng)
+        cfg = base_cfg(
+            handover=HandoverSettings(
+                use_handover=True, use_downscaled_finest_priors=True
+            ),
+        )
+        first = solve_window(cfg, sample, cfg.zero_pyramid(), is_first_sample=True)
+        second = solve_window(
+            cfg, sample, first.final_theta_pyr, is_first_sample=False
+        )
+        # prior at level 1 must equal the downscaled level-0 prior
+        from eincm_tpu.ops.resize import downscale_theta
+
+        expect = np.asarray(
+            downscale_theta(first.final_theta_pyr[0], base=2, method="bilinear")
+        )
+        np.testing.assert_allclose(
+            np.asarray(second.prior_theta_pyr[1]), expect, rtol=1e-5
+        )

@@ -1,0 +1,116 @@
+"""The MXU one-hot-matmul splat must agree with the scatter-add oracle."""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from eincm_tpu.ops.splat import (
+    event_counts,
+    events_to_pdf_frame,
+    events_to_pdf_frame_scatter,
+    make_event_mask,
+)
+
+SENSOR = (24, 32)
+
+
+def _rand_events(rng, n, sensor=SENSOR, spread=3.0):
+    h, w = sensor
+    xs = rng.uniform(-spread, w - 1 + spread, n).astype(np.float32)
+    ys = rng.uniform(-spread, h - 1 + spread, n).astype(np.float32)
+    return xs, ys
+
+
+def test_single_event_center_mass():
+    # One event at an exact integer coord: 3x3 patch of N(0,I) pdf values.
+    xs = jnp.array([5.0])
+    ys = jnp.array([7.0])
+    frame = events_to_pdf_frame(xs, ys, SENSOR)
+    peak = 1.0 / (2.0 * math.pi)
+    assert np.isclose(float(frame[7, 5]), peak, rtol=1e-6)
+    assert np.isclose(float(frame[7, 6]), peak * math.exp(-0.5), rtol=1e-6)
+    assert np.isclose(float(frame[8, 6]), peak * math.exp(-1.0), rtol=1e-6)
+    assert float(frame[7, 8]) == 0.0  # outside window
+    # total mass = sum of the 3x3 patch
+    g = [math.exp(0), 2 * math.exp(-0.5)]
+    mass = (g[0] + g[1]) ** 2 / (2 * math.pi)
+    assert np.isclose(float(frame.sum()), mass, rtol=1e-5)
+
+
+def test_matmul_matches_scatter(rng):
+    xs, ys = _rand_events(rng, 700)
+    a = events_to_pdf_frame(xs, ys, SENSOR, chunk_size=128)
+    b = events_to_pdf_frame_scatter(xs, ys, SENSOR)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_out_of_bounds_dropped(rng):
+    xs = jnp.array([-10.0, 100.0, 5.0])
+    ys = jnp.array([5.0, 5.0, -50.0])
+    frame = events_to_pdf_frame(xs, ys, SENSOR)
+    assert float(frame.sum()) == 0.0
+
+
+def test_boundary_partial_drop():
+    # Event at the corner: only the in-sensor part of the window lands.
+    xs = jnp.array([0.0])
+    ys = jnp.array([0.0])
+    a = events_to_pdf_frame(xs, ys, SENSOR)
+    b = events_to_pdf_frame_scatter(xs, ys, SENSOR)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+    assert float(a[0, 0]) > 0
+
+
+def test_nan_events_dropped(rng):
+    xs, ys = _rand_events(rng, 64)
+    xs_nan = np.concatenate([xs, [np.nan, 3.0]]).astype(np.float32)
+    ys_nan = np.concatenate([ys, [3.0, np.nan]]).astype(np.float32)
+    a = events_to_pdf_frame(jnp.asarray(xs_nan), jnp.asarray(ys_nan), SENSOR)
+    b = events_to_pdf_frame(jnp.asarray(xs), jnp.asarray(ys), SENSOR)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+
+
+def test_chunk_padding_invariance(rng):
+    xs, ys = _rand_events(rng, 333)  # not a multiple of any chunk
+    a = events_to_pdf_frame(xs, ys, SENSOR, chunk_size=128)
+    b = events_to_pdf_frame(xs, ys, SENSOR, chunk_size=512)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_window5(rng):
+    xs, ys = _rand_events(rng, 200)
+    a = events_to_pdf_frame(xs, ys, SENSOR, window_size=5)
+    b = events_to_pdf_frame_scatter(xs, ys, SENSOR, window_size=5)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_event_counts_and_mask(rng):
+    xs = jnp.array([1.0, 1.0, 2.0, 31.0])
+    ys = jnp.array([1.0, 1.0, 3.0, 23.0])
+    counts = event_counts(xs, ys, SENSOR)
+    assert float(counts[1, 1]) == 2.0
+    assert float(counts[3, 2]) == 1.0
+    assert float(counts[23, 31]) == 1.0
+    assert float(counts.sum()) == 4.0
+    mask = make_event_mask(xs, ys, SENSOR)
+    assert bool(mask[1, 1]) and bool(mask[3, 2])
+    assert not bool(mask[0, 0])
+
+
+def test_splat_gradient_finite_difference(rng):
+    import jax
+
+    xs, ys = _rand_events(rng, 50)
+    xs = jnp.asarray(xs)
+    ys = jnp.asarray(ys)
+
+    def f(shift):
+        frame = events_to_pdf_frame(xs + shift, ys, SENSOR)
+        return (frame**2).sum()
+
+    g = jax.grad(f)(0.0)
+    eps = 1e-3
+    fd = (f(eps) - f(-eps)) / (2 * eps)
+    assert np.isclose(float(g), float(fd), rtol=1e-2)
