@@ -22,10 +22,11 @@ import numpy as np
 
 def main():
     from eincm_tpu.ops.splat import events_to_pdf_frame
-    from eincm_tpu.ops.warp import warp_events_multi_ref
+    from eincm_tpu.ops.warp import warp_events_multi_ref_coarse
 
     # DSEC-scale workload: 480x640 sensor, 1.5M events, 2 reference times
-    # (run.sh:99-121 des_n_events=1500000).
+    # (run.sh:99-121 des_n_events=1500000). This is the solver's hot path:
+    # coarse theta -> fused bilinear interp + warp -> MXU splat per reference.
     H, W = 480, 640
     n_events = 1_500_000
     n_refs = 2
@@ -35,11 +36,13 @@ def main():
     ys = jnp.asarray(rng.integers(0, H, n_events).astype(np.float32))
     ts = jnp.asarray(np.sort(rng.uniform(0, 1, n_events)).astype(np.float32))
     t_refs = jnp.asarray(np.linspace(0, 1, n_refs).astype(np.float32))
-    theta = jnp.asarray(rng.normal(0, 4, (H, W, 2)).astype(np.float32))
+    theta = jnp.asarray(rng.normal(0, 4, (16, 16, 2)).astype(np.float32))
 
     @jax.jit
     def warp_splat(theta, seed):
-        wx, wy = warp_events_multi_ref(theta, xs, ys, ts, t_refs)
+        wx, wy = warp_events_multi_ref_coarse(
+            theta, xs, ys, ts, t_refs, (H, W)
+        )
         wx = wx + seed * 1e-6  # defeat caching across iterations
         frames = jax.vmap(
             lambda a, b: events_to_pdf_frame(a, b, (H, W))

@@ -1,0 +1,307 @@
+"""DSEC loader: HDF5 events, rectification, calibration, eval windows.
+
+Port of src/dataloaders/dsec_loader.py:52-367 with OpenCV replaced by
+self-contained geometry (eincm_tpu.data.geometry):
+- event rectification gathers the vendored rectify_map and round-filters
+  (dsec_loader.py:145-171);
+- the image->rect-event homography remap uses our Catmull-Rom bicubic
+  resampler instead of cv.remap INTER_CUBIC;
+- the from-calibration event rectify map uses our iterative undistortion
+  instead of cv.undistortPointsIter.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict
+
+import numpy as np
+import yaml
+from scipy.spatial.transform import Rotation as Rot
+
+from eincm_tpu.data.geometry import Transform, remap_bicubic, undistort_points_iter
+from eincm_tpu.data.readers import HDF5FileReader
+from eincm_tpu.data.windowing import adjust_event_window
+
+DSEC_HEIGHT = 480
+DSEC_WIDTH = 640
+
+
+class _TestPaths:
+    def __init__(self, root: Path, seq: str, extended: bool):
+        self.events_h5_path = root / f"Test/test_events/{seq}/events/left/events.h5"
+        self.rectify_map_h5_path = (
+            root / f"Test/test_events/{seq}/events/left/rectify_map.h5"
+        )
+        self.calib_cam_to_cam_yml_path = (
+            root / f"Test/test_calibration/{seq}/calibration/cam_to_cam.yaml"
+        )
+        self.l_images_timestamps_path = (
+            root / f"Test/test_images/{seq}/images/timestamps.txt"
+        )
+        self.l_images_dir = root / f"Test/test_images/{seq}/images/left/rectified"
+        suffix = "_.csv" if extended else ".csv"
+        self.eval_ts_path = (
+            root / f"Evaluation/test_forward_optical_flow_timestamps/{seq}{suffix}"
+        )
+
+
+class _TrainPaths:
+    def __init__(self, root: Path, seq: str):
+        self.events_h5_path = root / f"Train/train_events/{seq}/events/left/events.h5"
+        self.rectify_map_h5_path = (
+            root / f"Train/train_events/{seq}/events/left/rectify_map.h5"
+        )
+        self.calib_cam_to_cam_yml_path = (
+            root / f"Train/train_calibration/{seq}/calibration/cam_to_cam.yaml"
+        )
+        self.l_images_timestamps_path = (
+            root / f"Train/train_images/{seq}/images/timestamps.txt"
+        )
+        self.l_images_dir = root / f"Train/train_images/{seq}/images/left/rectified"
+        self.flow_gt_forward_timestamps_path = (
+            root / f"Train/train_optical_flow/{seq}/flow/forward_timestamps.txt"
+        )
+        self.flow_gt_forward_dir = root / f"Train/train_optical_flow/{seq}/flow/forward"
+
+
+class DSECDataLoader:
+    def __init__(
+        self,
+        root_dir,
+        sequence_name,
+        des_n_events: int = 1_500_000,
+        data_split: str = "test",
+        extended: bool = False,
+        prefer_latest_events: bool = True,
+    ):
+        self.root_dir = Path(root_dir)
+        self.sequence_name = sequence_name
+        self.des_n_events = des_n_events
+        self.data_split = data_split
+        self.extended = extended
+        self.prefer_latest_events = prefer_latest_events
+        self.n_event_deficiency = 0
+
+        self.height = DSEC_HEIGHT
+        self.width = DSEC_WIDTH
+        self.sensor_size = (DSEC_HEIGHT, DSEC_WIDTH)
+
+        self.dataset = (
+            _TestPaths(self.root_dir, sequence_name, extended)
+            if data_split == "test"
+            else _TrainPaths(self.root_dir, sequence_name)
+        )
+
+    # ------------------------------------------------------------------ load
+
+    def get_ready(self):
+        self.load_left_data()
+        self.rectify_events()
+        self.construct_mapping_for_image()
+        self.construct_event_rectify_map_from_calibration()
+        self.precompute_eval_event_indices()
+        self.precompute_eval_image_indices()
+
+    def load_left_data(self):
+        with HDF5FileReader(self.dataset.events_h5_path) as rdr:
+            self.l_events = {
+                "x": rdr.read_dataset("events/x").astype(np.int16),
+                "y": rdr.read_dataset("events/y").astype(np.int16),
+                "t": rdr.read_dataset("events/t"),  # microseconds
+                "p": rdr.read_dataset("events/p").astype(bool),
+            }
+            self.ms_to_idx = rdr.read_dataset("ms_to_idx")
+            self.t_offset = rdr.read_attr("t_offset")
+
+        with HDF5FileReader(self.dataset.rectify_map_h5_path) as rdr:
+            self.rectify_map = rdr.read_dataset("rectify_map")
+
+        with open(self.dataset.calib_cam_to_cam_yml_path) as f:
+            self.cam_to_cam = yaml.safe_load(f)
+
+        self.l_image_ts_us = np.loadtxt(
+            self.dataset.l_images_timestamps_path, dtype="int64"
+        )
+        self.l_image_paths = sorted(
+            str(p) for p in self.dataset.l_images_dir.iterdir()
+            if str(p).endswith(".png")
+        )
+
+        if self.data_split == "train":
+            self.flow_gt_paths = sorted(
+                str(p) for p in self.dataset.flow_gt_forward_dir.iterdir()
+                if str(p).endswith(".png")
+            )
+            self.eval_ts_us = np.loadtxt(
+                self.dataset.flow_gt_forward_timestamps_path,
+                delimiter=",", skiprows=1, dtype="int64",
+            )
+        else:
+            self.eval_ts_us = np.loadtxt(
+                self.dataset.eval_ts_path, delimiter=",", skiprows=1, dtype="int64"
+            )
+
+    # --------------------------------------------------------- rectification
+
+    def rectify_events(self):
+        assert self.rectify_map.shape == (self.height, self.width, 2)
+        assert self.l_events["x"].max() < self.width
+        assert self.l_events["y"].max() < self.height
+
+        rect = self.rectify_map[self.l_events["y"], self.l_events["x"]]
+        rec_x = np.round(rect[:, 0]).astype(np.int16)
+        rec_y = np.round(rect[:, 1]).astype(np.int16)
+        keep = (
+            (rec_x >= 0) & (rec_x < self.width)
+            & (rec_y >= 0) & (rec_y < self.height)
+        )
+        self.l_events["x"] = rec_x[keep]
+        self.l_events["y"] = rec_y[keep]
+        self.l_events["t"] = self.l_events["t"][keep]
+        self.l_events["p"] = self.l_events["p"][keep]
+
+    def construct_mapping_for_image(self):
+        """Homography K_r1 R_r1r0 K_r0^-1 grid mapping rect-cam0 pixels to
+        rect-cam1 (image) pixels (dsec_loader.py:188-219)."""
+        intr = self.cam_to_cam["intrinsics"]
+        K_r0 = np.eye(3)
+        K_r0[[0, 1, 0, 1], [0, 1, 2, 2]] = intr["camRect0"]["camera_matrix"]
+        K_r1 = np.eye(3)
+        K_r1[[0, 1, 0, 1], [0, 1, 2, 2]] = intr["camRect1"]["camera_matrix"]
+
+        ext = self.cam_to_cam["extrinsics"]
+        T_r0_0 = Transform.from_rotation(Rot.from_matrix(np.array(ext["R_rect0"])))
+        T_r1_1 = Transform.from_rotation(Rot.from_matrix(np.array(ext["R_rect1"])))
+        T_1_0 = Transform.from_transform_matrix(np.array(ext["T_10"]))
+        T_r1_r0 = T_r1_1 @ T_1_0 @ T_r0_0.inverse()
+        P = K_r1 @ T_r1_r0.R_matrix() @ np.linalg.inv(K_r0)
+
+        xs, ys = np.meshgrid(np.arange(self.width), np.arange(self.height))
+        hom = np.stack([xs, ys, np.ones_like(xs)], axis=-1).astype(np.float64)
+        mapped = hom @ P.T
+        mapped = mapped[..., :2] / mapped[..., 2:3]
+        self.mapping = mapped.astype(np.float32)
+        return self.mapping
+
+    def construct_event_rectify_map_from_calibration(self):
+        intr = self.cam_to_cam["intrinsics"]
+        K_0 = np.eye(3)
+        K_0[[0, 1, 0, 1], [0, 1, 2, 2]] = intr["cam0"]["camera_matrix"]
+        K_r0 = np.eye(3)
+        K_r0[[0, 1, 0, 1], [0, 1, 2, 2]] = intr["camRect0"]["camera_matrix"]
+        dist = np.array(intr["cam0"]["distortion_coeffs"])
+        R_r0_0 = np.array(self.cam_to_cam["extrinsics"]["R_rect0"])
+
+        coords = (
+            np.stack(np.meshgrid(np.arange(self.width), np.arange(self.height)))
+            .reshape(2, -1)
+            .astype(np.float64)
+        )
+        pts = undistort_points_iter(coords, K_0, dist, R_r0_0, K_r0)
+        self.event_rect_map = pts.reshape(self.height, self.width, 2)
+        return self.event_rect_map
+
+    def map_image_to_rect_event(self, img: np.ndarray) -> np.ndarray:
+        return remap_bicubic(img, self.mapping)
+
+    # -------------------------------------------------------------- indexing
+
+    def precompute_eval_event_indices(self):
+        t = self.l_events["t"]
+        self.eval_event_start_idxs = np.searchsorted(
+            t, self.eval_ts_us[:, 0] - self.t_offset, side="left"
+        )
+        self.eval_event_end_idxs = np.searchsorted(
+            t, self.eval_ts_us[:, 1] - self.t_offset, side="left"
+        )
+
+    def precompute_eval_image_indices(self):
+        self.eval_image_start_idxs = np.searchsorted(
+            self.l_image_ts_us, self.eval_ts_us[:, 0], side="left"
+        )
+        self.eval_image_end_idxs = np.searchsorted(
+            self.l_image_ts_us, self.eval_ts_us[:, 1], side="left"
+        )
+
+    # ----------------------------------------------------------- GT flow png
+
+    @staticmethod
+    def flow_16bit_to_float(flow_16bit: np.ndarray):
+        """uint16 PNG encoding: flow = (value - 2^15) / 128, channel 2 = valid
+        (dsec_loader.py:247-265)."""
+        assert flow_16bit.dtype == np.uint16
+        assert flow_16bit.ndim == 3 and flow_16bit.shape[2] == 3
+        valid2D = flow_16bit[..., 2] == 1
+        assert np.all(flow_16bit[~valid2D, -1] == 0)
+        f = flow_16bit.astype(np.float64)
+        flow_map = np.zeros((*flow_16bit.shape[:2], 2))
+        flow_map[valid2D, 0] = (f[valid2D, 0] - 2**15) / 128
+        flow_map[valid2D, 1] = (f[valid2D, 1] - 2**15) / 128
+        return flow_map, valid2D
+
+    @staticmethod
+    def load_flow(flowfile: Path):
+        # PIL cannot decode 16-bit RGB PNGs; use the bundled codec.
+        from eincm_tpu.utils.png16 import read_png16
+
+        flow_16bit = read_png16(flowfile)
+        return DSECDataLoader.flow_16bit_to_float(flow_16bit)
+
+    # -------------------------------------------------------------- sampling
+
+    @staticmethod
+    def _imread_gray(path: str) -> np.ndarray:
+        import imageio.v2 as imageio
+
+        img = np.asarray(imageio.imread(path))
+        if img.ndim == 3:
+            img = (
+                0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
+            ).astype(np.uint8)
+        return img
+
+    def get_sample(self, eval_idx: int) -> Dict:
+        i0 = self.eval_image_start_idxs[eval_idx]
+        i1 = self.eval_image_end_idxs[eval_idx]
+        images = [
+            self.map_image_to_rect_event(self._imread_gray(p))
+            for p in self.l_image_paths[i0 : i1 + 1]
+        ]
+
+        e0 = int(self.eval_event_start_idxs[eval_idx])
+        e1 = int(self.eval_event_end_idxs[eval_idx])
+        e0, e1, deficiency, orig_n = adjust_event_window(
+            e0, e1, self.des_n_events, len(self.l_events["x"]),
+            self.prefer_latest_events,
+        )
+        self.n_event_deficiency = deficiency
+
+        events = {
+            "x": self.l_events["x"][e0:e1],
+            "y": self.l_events["y"][e0:e1],
+            "t": self.l_events["t"][e0:e1] + self.t_offset,
+            "p": self.l_events["p"][e0:e1],
+        }
+
+        sample = {
+            "events": events,
+            "images": images,
+            "image_ts": self.l_image_ts_us[i0 : i1 + 1],
+            "eval_ts_us": self.eval_ts_us[eval_idx, :2],
+            "n_event_deficiency": deficiency,
+            "orig_n_events": orig_n,
+        }
+        if self.data_split == "test":
+            sample["file_idx"] = self.eval_ts_us[eval_idx, 2]
+        else:
+            flow_gt, valid2D = self.load_flow(Path(self.flow_gt_paths[eval_idx]))
+            sample["flow_gt"] = flow_gt
+            sample["valid2D"] = valid2D
+        return sample
+
+    def __getitem__(self, idx):
+        return self.get_sample(idx)
+
+    def __len__(self):
+        return len(self.eval_ts_us)

@@ -1,0 +1,285 @@
+"""Experiment configuration: typed dataclasses + YAML + dotted overrides.
+
+Replaces the reference's hydra/omegaconf stack (src/experiments/e00/configs/**,
+24 YAML files with `_target_` instantiation and custom resolvers) with a
+self-contained system: a dataclass tree, YAML loading, and `key.path=value`
+command-line overrides. The reference's known config inconsistencies
+(SURVEY.md §5 "Config") are deliberately not replicated.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+import yaml
+
+from eincm_tpu.models.loss import LossParams
+from eincm_tpu.models.pyramid import HandoverSettings, SolverConfig
+
+
+@dataclass
+class DatasetConfig:
+    kind: str = "synthetic"  # synthetic | ecd | mvsec | dsec
+    root_dir: str = ""
+    sequence_name: str = "synthetic"
+    des_n_events: int = 8192
+    sensor_size: Tuple[int, int] = (64, 64)
+    delta_idx: int = 1  # MVSEC/ECD image-timestamp stride ("dt")
+    data_split: str = "test"  # DSEC
+    extended: bool = False  # DSEC extended eval timestamps
+    load_more_images: bool = False  # MVSEC multi-reference
+    use_new_pruning_limits: bool = False  # MVSEC
+    prefer_latest_events: bool = True
+    # synthetic-only
+    n_windows: int = 4
+    velocity: Tuple[float, float] = (3.0, -2.0)
+
+    def make_loader(self):
+        if self.kind == "synthetic":
+            from eincm_tpu.data.synthetic import SyntheticDataLoader
+
+            return SyntheticDataLoader(
+                sensor_size=tuple(self.sensor_size),
+                n_windows=self.n_windows,
+                des_n_events=self.des_n_events,
+                velocity=tuple(self.velocity),
+                prefer_latest_events=self.prefer_latest_events,
+            )
+        if self.kind == "ecd":
+            from eincm_tpu.data.ecd import ECDDataLoader
+
+            return ECDDataLoader(
+                self.root_dir, self.sequence_name, self.des_n_events,
+                self.delta_idx, self.prefer_latest_events,
+            )
+        if self.kind == "mvsec":
+            from eincm_tpu.data.mvsec import MVSECDataLoader
+
+            return MVSECDataLoader(
+                self.root_dir, self.sequence_name, self.delta_idx,
+                self.des_n_events, self.load_more_images,
+                self.use_new_pruning_limits, self.prefer_latest_events,
+            )
+        if self.kind == "dsec":
+            from eincm_tpu.data.dsec import DSECDataLoader
+
+            return DSECDataLoader(
+                self.root_dir, self.sequence_name, self.des_n_events,
+                self.data_split, self.extended, self.prefer_latest_events,
+            )
+        raise ValueError(f"unknown dataset kind {self.kind!r}")
+
+
+@dataclass
+class EdgeConfig:
+    """Edge extraction settings (reference: configs/edge_extraction/*.yaml)."""
+
+    enable_image_preprocessing: bool = True
+    canny_aperture: int = 3
+    canny_th1: float = 30.0
+    canny_th2: float = 80.0
+    smoothen_method: str = "gaussian"  # gaussian | eincm_iedt | rtef_iedt
+    smoothen_k_size: float = 1.0
+    smoothen_sigma: float = 1.0
+    iedt_alpha: float = 6.0
+    rtef_d_sat: float = 6.0
+    rtef_formulation: str = "exponential"
+    preprocess_kwargs: Dict[str, Any] = field(default_factory=dict)
+
+    def make_edge_fn(self):
+        from eincm_tpu.edge import pipeline as ep
+
+        if self.smoothen_method == "gaussian":
+            smoothen = lambda e: ep.smoothen_edges(
+                e, self.smoothen_k_size, self.smoothen_sigma
+            )
+        elif self.smoothen_method == "eincm_iedt":
+            smoothen = lambda e: ep.eincm_inv_exp_dist_transform(
+                e, self.iedt_alpha
+            )
+        elif self.smoothen_method == "rtef_iedt":
+            smoothen = lambda e: ep.rtef_inv_exp_dist_transform(
+                e, self.rtef_d_sat, None, self.rtef_formulation
+            )
+        else:
+            raise ValueError(self.smoothen_method)
+
+        return lambda images: ep.extract_edges(
+            images,
+            preprocess=self.enable_image_preprocessing,
+            smoothen_fn=smoothen,
+            canny_th1=self.canny_th1,
+            canny_th2=self.canny_th2,
+            canny_aperture=self.canny_aperture,
+            preprocess_kwargs=self.preprocess_kwargs,
+        )
+
+
+@dataclass
+class SolverSettings:
+    """Reference: configs/main.yaml solver_params + pyramid settings."""
+
+    n_pyr_lvls: int = 5
+    pyramid_bases: Optional[Tuple[int, ...]] = None
+    theta_miniter: int = 10
+    theta_maxiter: int = 25
+    handover_miniter: int = 5
+    handover_maxiter: int = 15
+    use_growing_maxiters: bool = True
+    maxiters_grow_order: float = 1.0
+    theta_gtol: float = 1e-4
+    n_extra_attempts: Dict[int, int] = field(default_factory=dict)
+    pyramid_upscale_method: str = "repeat"
+    pyramid_downscale_method: str = "bilinear"
+    scale_theta_to_sensor_size_method: str = "bilinear"
+    max_ls_evals: int = 25
+
+    def growing_maxiters(self, miniter: int, maxiter: int) -> Tuple[int, ...]:
+        """Per-level iteration budgets: more at coarse... actually more at the
+        FINEST level (p=0 -> maxiter), fewer at coarse (p=1 -> miniter).
+
+        Reference: exp_mgr.py:169-187 (`prepare_maxiters`).
+        """
+        out = []
+        for lvl in range(self.n_pyr_lvls):
+            if self.n_pyr_lvls == 1:
+                p = 0.0
+            else:
+                p = lvl / (self.n_pyr_lvls - 1)
+            o = self.maxiters_grow_order
+            if self.use_growing_maxiters:
+                out.append(int(np.ceil(miniter * p**o + maxiter * (1 - p) ** o)))
+            else:
+                out.append(maxiter)
+        return tuple(out)
+
+
+@dataclass
+class PhaseSettings:
+    solve: bool = True
+    eval: bool = True
+    plot: bool = False
+    n_repeat_solve: int = 1
+    run_idx_range: Optional[Tuple[int, int]] = None
+    checkpoint_every_percent: float = 25.0
+    delete_checkpoints_at_end: bool = True
+    run_from_checkpoint: Optional[str] = None
+
+
+@dataclass
+class ExperimentConfig:
+    dataset: DatasetConfig = field(default_factory=DatasetConfig)
+    edge: EdgeConfig = field(default_factory=EdgeConfig)
+    solver: SolverSettings = field(default_factory=SolverSettings)
+    handover: HandoverSettings = field(default_factory=HandoverSettings)
+    phases: PhaseSettings = field(default_factory=PhaseSettings)
+    alpha: float = 60.0
+    beta: float = 60.0
+    gamma: float = 0.0
+    delta: float = 0.0
+    output_dir: str = "outputs"
+    experiment_name: str = "eincm"
+    seed: int = 0
+
+    @property
+    def loss_params(self) -> LossParams:
+        return LossParams(self.alpha, self.beta, self.gamma, self.delta)
+
+    def solver_config(self) -> SolverConfig:
+        s = self.solver
+        return SolverConfig(
+            n_pyr_lvls=s.n_pyr_lvls,
+            sensor_size=tuple(self.dataset.sensor_size),
+            params=self.loss_params,
+            theta_opt_maxiters=s.growing_maxiters(s.theta_miniter, s.theta_maxiter),
+            handover_opt_maxiters=s.growing_maxiters(
+                s.handover_miniter, s.handover_maxiter
+            ),
+            theta_gtol=s.theta_gtol,
+            n_extra_attempts=dict(s.n_extra_attempts),
+            pyramid_bases=(
+                tuple(s.pyramid_bases) if s.pyramid_bases is not None else None
+            ),
+            pyramid_upscale_method=s.pyramid_upscale_method,
+            pyramid_downscale_method=s.pyramid_downscale_method,
+            scale_to_sensor_size_method=s.scale_theta_to_sensor_size_method,
+            handover=self.handover,
+            max_ls_evals=s.max_ls_evals,
+        )
+
+    # ------------------------------------------------------------- serialize
+
+    def to_dict(self) -> Dict:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: Dict) -> "ExperimentConfig":
+        def build(tp, val):
+            if dataclasses.is_dataclass(tp) and isinstance(val, dict):
+                fields = {f.name: f for f in dataclasses.fields(tp)}
+                kwargs = {}
+                for k, v in val.items():
+                    if k not in fields:
+                        raise KeyError(f"unknown config key {k!r} for {tp.__name__}")
+                    ftype = fields[k].type
+                    sub = _DATACLASS_FIELDS.get((tp, k))
+                    kwargs[k] = build(sub, v) if sub else v
+                return tp(**kwargs)
+            return val
+
+        _DATACLASS_FIELDS = {
+            (cls, "dataset"): DatasetConfig,
+            (cls, "edge"): EdgeConfig,
+            (cls, "solver"): SolverSettings,
+            (cls, "handover"): HandoverSettings,
+            (cls, "phases"): PhaseSettings,
+        }
+        return build(cls, d)
+
+
+def _parse_value(s: str) -> Any:
+    try:
+        return yaml.safe_load(s)
+    except yaml.YAMLError:
+        return s
+
+
+def apply_overrides(cfg: ExperimentConfig, overrides) -> ExperimentConfig:
+    """Apply `a.b.c=value` style command-line overrides (hydra-like)."""
+    d = cfg.to_dict()
+    for ov in overrides:
+        if "=" not in ov:
+            raise ValueError(f"override {ov!r} must be key=value")
+        key, _, raw = ov.partition("=")
+        val = _parse_value(raw)
+        node = d
+        parts = key.split(".")
+        for p in parts[:-1]:
+            if p not in node:
+                raise KeyError(f"unknown config path {key!r}")
+            node = node[p]
+        leaf = parts[-1]
+        if leaf not in node and not isinstance(node.get(leaf, None), dict):
+            if leaf not in node:
+                raise KeyError(f"unknown config key {key!r}")
+        node[leaf] = val
+    return ExperimentConfig.from_dict(d)
+
+
+def load_config(
+    path: Optional[str] = None, overrides=()
+) -> ExperimentConfig:
+    """Load a YAML config (or defaults) and apply overrides."""
+    if path is None:
+        cfg = ExperimentConfig()
+    else:
+        with open(path) as f:
+            d = yaml.safe_load(f) or {}
+        cfg = ExperimentConfig.from_dict(d)
+    if overrides:
+        cfg = apply_overrides(cfg, overrides)
+    return cfg

@@ -1,0 +1,302 @@
+"""Experiment orchestration: SOLVE / EVAL / PLOT phases over a sequence.
+
+Functional equivalent of `EINCMExperiment` (src/experiments/e00/exp_mgr.py:
+32-862): per-window staging, the sequential prior-chain solve, periodic
+checkpointing with resume, evaluation against ground truth, score
+aggregation into scores.txt, and plotting. The solver itself is the jitted
+on-device pyramid (one dispatch per window) instead of a host BFGS loop.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from eincm_tpu.data.staging import StagedSample, stage_datasample
+from eincm_tpu.evals.theta_metrics import evaluate_theta_array
+from eincm_tpu.experiments.config import ExperimentConfig
+from eincm_tpu.experiments.outputs import (
+    EINCMOutputLoader,
+    save_eval_results,
+    save_opt_results,
+    solve_result_to_record,
+    validate_opt_results,
+)
+from eincm_tpu.models.pyramid import WindowSample, make_window_solver
+from eincm_tpu.ops.resize import scale_theta_to_sensor_size
+from eincm_tpu.utils.console import log, ok, warn
+
+EPSN = sys.float_info.epsilon
+
+# DSEC-extended scoring also reports the original-timestamp subset
+# (exp_mgr.py:706-714): every 5th window, skipping the first.
+_EXTENDED_SUBSET = slice(None, None, 5)
+
+
+class EINCMExperiment:
+    def __init__(self, cfg: ExperimentConfig):
+        self.cfg = cfg
+        self.solver_cfg = cfg.solver_config()
+        self.edge_fn = cfg.edge.make_edge_fn()
+        self.window_solver = make_window_solver(self.solver_cfg)
+
+        self.out_dir = Path(cfg.output_dir) / cfg.experiment_name
+        self.ckpt_dir = self.out_dir / "checkpoints"
+        os.makedirs(self.ckpt_dir, exist_ok=True)
+
+        self.opt_results: Dict = {}
+        self.eval_results: Dict = {}
+        self.dataloader = None
+        self._prior_pyr = None
+        self._is_first = True
+        self._ckpt_idx = -1
+
+    # ------------------------------------------------------------------ prep
+
+    def _prepare_dataloader(self):
+        if self.dataloader is None:
+            self.dataloader = self.cfg.dataset.make_loader()
+            self.dataloader.get_ready()
+        return self.dataloader
+
+    def _maybe_resume(self):
+        path = self.cfg.phases.run_from_checkpoint
+        if not path:
+            return
+        log(f"resuming from checkpoint {path}")
+        data = np.load(path, allow_pickle=True)
+        self.opt_results = data["opt_results"].item()
+        idxs = sorted(
+            int(k.replace("datasample_idx_", "")) for k in self.opt_results
+        )
+        self._ckpt_idx = idxs[-1]
+        last = self.opt_results[f"datasample_idx_{self._ckpt_idx}"]
+        pyr = last["solver_final_results"]["final_theta_pyr"]
+        self._prior_pyr = tuple(
+            jnp.asarray(pyr[f"pyr_lvl_{l}"])
+            for l in range(self.solver_cfg.n_pyr_lvls)
+        )
+        self._is_first = False
+
+    def _skip_idx(self, idx: int) -> bool:
+        if idx <= self._ckpt_idx:
+            return True
+        rng = self.cfg.phases.run_idx_range
+        if rng is not None and not (rng[0] <= idx < rng[1]):
+            return True
+        return False
+
+    def stage(self, datasample) -> StagedSample:
+        return stage_datasample(
+            datasample,
+            edge_fn=self.edge_fn,
+            preprocess=self.cfg.edge.enable_image_preprocessing,
+        )
+
+    # ----------------------------------------------------------------- solve
+
+    def run_solver(self):
+        dl = self._prepare_dataloader()
+        self._maybe_resume()
+        if self._prior_pyr is None:
+            self._prior_pyr = self.solver_cfg.zero_pyramid()
+
+        n = len(dl)
+        ckpt_every = max(
+            1, int(np.ceil(n * self.cfg.phases.checkpoint_every_percent / 100.0))
+        )
+        t_begin = time.perf_counter()
+        n_done = 0
+        for idx in range(n):
+            if self._skip_idx(idx):
+                continue
+            staged = self.stage(dl[idx])
+            for _ in range(self.cfg.phases.n_repeat_solve):
+                res = self.window_solver(
+                    staged.window, self._prior_pyr, is_first=self._is_first
+                )
+                self._prior_pyr = res.final_theta_pyr
+                self._is_first = False
+
+            self.opt_results[f"datasample_idx_{idx}"] = solve_result_to_record(res)
+            n_done += 1
+            dt = time.perf_counter() - t_begin
+            states = res.theta_opt_states
+            log(
+                f"[{idx + 1}/{n}] solved "
+                f"(f={float(states[0].fun_val):.4f}, "
+                f"iters={[int(s.iter_num) for s in states]}, "
+                f"avg {dt / n_done:.1f}s/window)"
+            )
+            if n_done % ckpt_every == 0:
+                self.save_checkpoint(idx, n)
+
+        validate_opt_results(self.opt_results, self.solver_cfg.n_pyr_lvls)
+        save_opt_results(
+            self.out_dir / "opt_results.npz", self.opt_results, self.cfg.to_dict()
+        )
+        ok(f"opt_results.npz saved ({len(self.opt_results)} windows)")
+        if self.cfg.phases.delete_checkpoints_at_end:
+            for p in self.ckpt_dir.glob("checkpoint_*.npz"):
+                p.unlink()
+        return self.opt_results
+
+    def save_checkpoint(self, idx: int, total: int):
+        path = self.ckpt_dir / f"checkpoint_{idx}_{total}.npz"
+        save_opt_results(path, self.opt_results, self.cfg.to_dict())
+        log(f"checkpoint saved: {path}")
+
+    # ------------------------------------------------------------------ eval
+
+    def _final_theta_full(self, idx: int):
+        rec = self.opt_results[f"datasample_idx_{idx}"]
+        theta0 = np.asarray(
+            rec["solver_final_results"]["final_theta_pyr"]["pyr_lvl_0"]
+        )
+        return scale_theta_to_sensor_size(
+            jnp.asarray(theta0),
+            tuple(self.cfg.dataset.sensor_size),
+            self.cfg.solver.scale_theta_to_sensor_size_method,
+        )
+
+    def run_eval(self, opt_results_path: Optional[str] = None):
+        if opt_results_path is not None:
+            loader = EINCMOutputLoader()
+            self.opt_results = loader.load_opt_results(opt_results_path)
+        assert self.opt_results, "no opt_results in memory or on disk"
+        dl = self._prepare_dataloader()
+
+        for key in sorted(
+            self.opt_results, key=lambda k: int(k.replace("datasample_idx_", ""))
+        ):
+            idx = int(key.replace("datasample_idx_", ""))
+            staged = self.stage(dl[idx])
+            theta_full = self._final_theta_full(idx)
+
+            gt = staged.gt_flow
+            mask = None
+            if (
+                self.cfg.dataset.kind == "mvsec"
+                and self.cfg.dataset.sequence_name == "outdoor_day1"
+            ):
+                # car-hood mask: rows >= 190 excluded (exp_mgr.py:429-432)
+                mask = np.ones(tuple(self.cfg.dataset.sensor_size), bool)
+                mask[190:] = False
+                mask = jnp.asarray(mask)
+
+            ev = staged.eval_events
+            time_str, eval_str, evals, _ = evaluate_theta_array(
+                theta_full,
+                jnp.asarray(ev["x"], jnp.float32),
+                jnp.asarray(ev["y"], jnp.float32),
+                jnp.asarray(ev["t"], jnp.float32),
+                staged.window.edges,
+                staged.window.edge_ts,
+                None if gt is None else jnp.asarray(gt, jnp.float32),
+                self.cfg.loss_params,
+                tuple(self.cfg.dataset.sensor_size),
+                err_eval_event_mask=mask,
+            )
+            self.eval_results[key] = {
+                "evals": {k: np.asarray(v) for k, v in evals.items()},
+                "eval_ts": np.asarray(staged.eval_ts),
+                "eval_ts_units": staged.eval_ts_units,
+            }
+            log(f"{time_str} {key}: {eval_str.strip()}")
+
+        save_eval_results(
+            self.out_dir / "eval_results.npz", self.eval_results, self.cfg.to_dict()
+        )
+        scores = self.extract_scores()
+        self.write_scores(scores)
+        return self.eval_results
+
+    # ---------------------------------------------------------------- scores
+
+    def extract_scores(self) -> Dict[str, Dict[str, float]]:
+        """Aggregate per-window metrics into min | mean+-std | max
+        (exp_mgr.py:821-833)."""
+        per_metric: Dict[str, list] = {}
+        for rec in self.eval_results.values():
+            for k, v in rec["evals"].items():
+                arr = np.asarray(v)
+                if arr.ndim == 0:
+                    per_metric.setdefault(k, []).append(float(arr))
+        scores = {}
+        for k, vals in per_metric.items():
+            a = np.asarray(vals)
+            scores[k] = {
+                "min": float(a.min()),
+                "mean": float(a.mean()),
+                "std": float(a.std()),
+                "max": float(a.max()),
+            }
+            if self.cfg.dataset.kind == "dsec" and self.cfg.dataset.extended:
+                sub = a[_EXTENDED_SUBSET][1:]
+                if len(sub):
+                    scores[k]["orig_subset_mean"] = float(sub.mean())
+                    scores[k]["orig_subset_std"] = float(sub.std())
+        return scores
+
+    def write_scores(self, scores: Dict[str, Dict[str, float]]):
+        path = self.out_dir / "scores.txt"
+        with open(path, "w") as f:
+            f.write(f"# {self.cfg.experiment_name} — per-metric aggregation\n")
+            f.write("# metric: min | mean±std | max\n")
+            for k in sorted(scores):
+                s = scores[k]
+                line = (
+                    f"{k}: {s['min']:.6f} | {s['mean']:.6f}±{s['std']:.6f} "
+                    f"| {s['max']:.6f}"
+                )
+                if "orig_subset_mean" in s:
+                    line += (
+                        f"  (orig-ts subset: "
+                        f"{s['orig_subset_mean']:.6f}±{s['orig_subset_std']:.6f})"
+                    )
+                f.write(line + "\n")
+        ok(f"scores.txt written: {path}")
+
+    # ------------------------------------------------------------------ plot
+
+    def run_plot(self, opt_results_path=None, eval_results_path=None):
+        from eincm_tpu.experiments.plotters import EINCMExperimentPlotter
+
+        if opt_results_path is not None:
+            self.opt_results = EINCMOutputLoader().load_opt_results(
+                opt_results_path
+            )
+        if eval_results_path is not None:
+            self.eval_results = EINCMOutputLoader().load_eval_results(
+                eval_results_path
+            )
+        dl = self._prepare_dataloader()
+        plotter = EINCMExperimentPlotter(self.cfg, self.out_dir / "plots")
+        for key in sorted(
+            self.opt_results, key=lambda k: int(k.replace("datasample_idx_", ""))
+        ):
+            idx = int(key.replace("datasample_idx_", ""))
+            staged = self.stage(dl[idx])
+            theta_full = self._final_theta_full(idx)
+            plotter.plot_end_results(idx, staged, theta_full)
+        if self.eval_results:
+            plotter.plot_metric_sequences(self.eval_results)
+        plotter.assemble_video()
+        return plotter
+
+    # ------------------------------------------------------------------- run
+
+    def run(self):
+        if self.cfg.phases.solve:
+            self.run_solver()
+        if self.cfg.phases.eval:
+            self.run_eval()
+        if self.cfg.phases.plot:
+            self.run_plot()
+        return self

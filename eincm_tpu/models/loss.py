@@ -35,7 +35,10 @@ from eincm_tpu.models.objectives import (
 from eincm_tpu.ops.normalize import normalize_to_unit_range
 from eincm_tpu.ops.resize import scale_theta_to_sensor_size
 from eincm_tpu.ops.splat import events_to_pdf_frame, make_event_mask
-from eincm_tpu.ops.warp import warp_events_multi_ref
+from eincm_tpu.ops.warp import (
+    warp_events_multi_ref,
+    warp_events_multi_ref_coarse,
+)
 
 EPSN = sys.float_info.epsilon
 
@@ -264,6 +267,92 @@ def loss_func(
     loss, aux = loss_from_objectives(objs, params, cur_pyr_lvl)
     aux["scaled_theta"] = scaled_theta
     return loss, aux
+
+
+def solver_loss(
+    theta: jax.Array,
+    xs: jax.Array,
+    ys: jax.Array,
+    ts: jax.Array,
+    edges: jax.Array,
+    edge_ts: jax.Array,
+    params: LossParams,
+    cur_pyr_lvl: int,
+    statics: LossStatics,
+    window_statics: WindowStatics,
+) -> jax.Array:
+    """Lean optimization-path loss — numerically equal to `loss_func`'s
+    scalar, with everything the optimizer doesn't need stripped out:
+
+    - per-event theta comes straight from the coarse grid (fused bilinear
+      interp; no full-sensor gather and no scatter in the VJP);
+    - FWL is never computed (it is a metric, not a loss term);
+    - IWE divergence is skipped when delta == 0, TV when gamma == 0 or the
+      pyramid level gates it off (src/eincm/losses.py:171).
+
+    The reference evaluates the full bundle on every BFGS iteration
+    (src/eincm/losses.py:49-105); the objective value is identical.
+    """
+    dtype = theta.dtype
+    epsn = jnp.asarray(EPSN, dtype)
+    sensor_size = statics.sensor_size
+    w = jnp.asarray(
+        compute_weights_for_multi_reference(n_refs=edges.shape[0]), dtype
+    )
+
+    if statics.scale_to_sensor_size_method == "bilinear":
+        warped_xs, warped_ys = warp_events_multi_ref_coarse(
+            theta, xs, ys, ts, edge_ts, sensor_size
+        )
+    else:
+        scaled = scale_theta_to_sensor_size(
+            theta, sensor_size, statics.scale_to_sensor_size_method
+        )
+        warped_xs, warped_ys = warp_events_multi_ref(
+            scaled, xs, ys, ts, edge_ts, 1.0
+        )
+
+    splat = partial(events_to_pdf_frame, sensor_size=sensor_size)
+    iwes = jax.vmap(splat)(warped_xs, warped_ys)
+    normalized_iwes = jax.vmap(normalize_to_unit_range)(iwes)
+
+    corrs = -jax.vmap(compute_mean_squared_error)(edges, normalized_iwes)
+    contrasts = jax.vmap(compute_mean_gradient_magnitude)(iwes)
+
+    rel_corrs = (w * corrs) / (window_statics.zero_corrs + epsn)
+    rel_contrasts = (w * contrasts) / (window_statics.zero_contrast + epsn)
+    loss = params.alpha * (-rel_contrasts.mean()) + params.beta * (
+        -rel_corrs.mean()
+    )
+
+    if params.delta != 0.0:
+        divs = jax.vmap(iwe_divergence)(normalized_iwes)
+        rel_divs = (w * divs) / (window_statics.zero_iwe_divergence + epsn)
+        loss = loss + params.delta * rel_divs.mean()
+
+    if params.gamma != 0.0 and cur_pyr_lvl <= 0:
+        scaled = scale_theta_to_sensor_size(
+            theta, sensor_size, statics.scale_to_sensor_size_method
+        )
+        flow = scaled * window_statics.event_mask[..., None].astype(dtype)
+        from eincm_tpu.ops.filters import scharr_grads
+
+        gx = scharr_grads(flow[..., 0])
+        gy = scharr_grads(flow[..., 1])
+        nz = (
+            (jnp.abs(gx[..., 0]) > 0)
+            | (jnp.abs(gx[..., 1]) > 0)
+            | (jnp.abs(gy[..., 0]) > 0)
+            | (jnp.abs(gy[..., 1]) > 0)
+        )
+        l1 = 0.25 * (
+            jnp.abs(gx[..., 0]) + jnp.abs(gx[..., 1])
+            + jnp.abs(gy[..., 0]) + jnp.abs(gy[..., 1])
+        )
+        tv = l1.sum() / (nz.sum() + epsn)
+        loss = loss + params.gamma * tv
+
+    return loss
 
 
 def handover_loss_func(

@@ -39,6 +39,7 @@ from eincm_tpu.models.loss import (
     compute_window_statics,
     handover_loss_func,
     loss_func,
+    solver_loss,
 )
 from eincm_tpu.ops.resize import downscale_theta, upscale_theta
 
@@ -169,7 +170,7 @@ def _solve_theta_level(
 
     def fun_and_grad(flat):
         theta = flat.reshape(shape)
-        (loss, _), grad = jax.value_and_grad(loss_func, has_aux=True)(
+        loss, grad = jax.value_and_grad(solver_loss)(
             theta,
             sample.xs,
             sample.ys,
@@ -216,10 +217,9 @@ def _solve_handover_weight(
         maxiter = cfg.handover_opt_maxiters[lvl]
 
     def fun(w):
-        return handover_loss_func(
-            w,
-            prior_theta,
-            theta,
+        theta_ho = w * prior_theta + (1.0 - w) * theta
+        return solver_loss(
+            theta_ho,
             sample.xs,
             sample.ys,
             sample.ts,

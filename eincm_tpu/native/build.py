@@ -1,0 +1,38 @@
+"""Build the native vision library with g++ (no external deps).
+
+Usage: python -m eincm_tpu.native.build
+The ctypes binding (vision.py) also triggers this lazily on first import if
+the shared object is missing or stale.
+"""
+
+from __future__ import annotations
+
+import subprocess
+from pathlib import Path
+
+SRC = Path(__file__).parent / "vision.cpp"
+LIB = Path(__file__).parent / "libeincm_vision.so"
+
+
+def build(force: bool = False) -> Path | None:
+    if (
+        not force
+        and LIB.exists()
+        and LIB.stat().st_mtime >= SRC.stat().st_mtime
+    ):
+        return LIB
+    cmd = [
+        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+        str(SRC), "-o", str(LIB),
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, text=True)
+    except (subprocess.CalledProcessError, FileNotFoundError) as e:
+        print(f"[eincm_tpu.native] build failed: {e}")
+        return None
+    return LIB
+
+
+if __name__ == "__main__":
+    out = build(force=True)
+    print(f"built: {out}")

@@ -34,6 +34,22 @@ import jax.numpy as jnp
 
 _INV_SQRT_2PI = 1.0 / math.sqrt(2.0 * math.pi)
 
+# MXU precision of the splat contraction. Measured on TPU v5e at DSEC scale
+# (480x640, 1.5M events): HIGHEST (bf16x6) 39 Mev/s, HIGH (bf16x3, ~f32
+# accuracy) 73 Mev/s, DEFAULT (single-pass bf16) 123+ Mev/s. HIGH is the
+# default: f32-equivalent accuracy for the pdf weights at 2x the speed.
+_SPLAT_PRECISION = jax.lax.Precision.HIGH
+
+
+def set_splat_precision(precision: str) -> None:
+    """Set splat matmul precision: 'highest' | 'high' | 'default'."""
+    global _SPLAT_PRECISION
+    _SPLAT_PRECISION = {
+        "highest": jax.lax.Precision.HIGHEST,
+        "high": jax.lax.Precision.HIGH,
+        "default": jax.lax.Precision.DEFAULT,
+    }[precision]
+
 # Budget for the banded one-hot matrices of one chunk, in floats. The chunk
 # size (the MXU contraction dimension) is derived from it so small windows run
 # as a single matmul (minimal op count — dispatch overhead dominates small
@@ -126,7 +142,7 @@ def events_to_pdf_frame(
             v,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=dtype,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=_SPLAT_PRECISION,
         )
 
     xs = xs.reshape(n_chunks, chunk_size)
@@ -141,9 +157,7 @@ def events_to_pdf_frame(
             v,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=dtype,
-            # Full f32 accuracy: the pdf weights feed BFGS gradients, and the
-            # default (single-pass bf16 on MXU) loses ~3 decimal digits.
-            precision=jax.lax.Precision.HIGHEST,
+            precision=_SPLAT_PRECISION,
         )
         return frame, None
 

@@ -1,0 +1,164 @@
+"""Full experiment-shell integration tests on the synthetic dataset (CPU)."""
+
+import numpy as np
+import pytest
+
+from eincm_tpu.experiments.config import (
+    ExperimentConfig,
+    apply_overrides,
+    load_config,
+)
+from eincm_tpu.experiments.manager import EINCMExperiment
+from eincm_tpu.experiments.outputs import (
+    EINCMOutputLoader,
+    validate_eval_results,
+    validate_opt_results,
+)
+
+
+def tiny_cfg(tmp_path, **kw):
+    cfg = ExperimentConfig()
+    cfg.dataset.kind = "synthetic"
+    cfg.dataset.sensor_size = (32, 32)
+    cfg.dataset.des_n_events = 1024
+    cfg.dataset.n_windows = 3
+    cfg.dataset.velocity = (2.0, -1.0)
+    cfg.solver.n_pyr_lvls = 3
+    cfg.solver.theta_maxiter = 6
+    cfg.solver.theta_miniter = 3
+    cfg.solver.handover_maxiter = 5
+    cfg.solver.max_ls_evals = 6
+    cfg.alpha, cfg.beta = 60.0, 0.0
+    cfg.edge.enable_image_preprocessing = False
+    cfg.output_dir = str(tmp_path)
+    cfg.phases.plot = False
+    for k, v in kw.items():
+        setattr(cfg, k, v)
+    return cfg
+
+
+class TestConfig:
+    def test_roundtrip_dict(self):
+        cfg = ExperimentConfig()
+        d = cfg.to_dict()
+        cfg2 = ExperimentConfig.from_dict(d)
+        assert cfg2.to_dict() == d
+
+    def test_overrides(self):
+        cfg = ExperimentConfig()
+        cfg2 = apply_overrides(
+            cfg, ["alpha=20", "dataset.des_n_events=999", "phases.plot=true"]
+        )
+        assert cfg2.alpha == 20
+        assert cfg2.dataset.des_n_events == 999
+        assert cfg2.phases.plot is True
+
+    def test_unknown_override_rejected(self):
+        with pytest.raises(KeyError):
+            apply_overrides(ExperimentConfig(), ["nonexistent.key=1"])
+
+    def test_yaml_load(self, tmp_path):
+        p = tmp_path / "c.yaml"
+        p.write_text("alpha: 33\ndataset:\n  kind: synthetic\n  des_n_events: 77\n")
+        cfg = load_config(str(p), ["beta=44"])
+        assert cfg.alpha == 33 and cfg.beta == 44
+        assert cfg.dataset.des_n_events == 77
+
+    def test_growing_maxiters(self):
+        cfg = ExperimentConfig()
+        cfg.solver.n_pyr_lvls = 5
+        cfg.solver.use_growing_maxiters = True
+        m = cfg.solver.growing_maxiters(10, 25)
+        assert len(m) == 5
+        assert m[0] == 25  # finest gets maxiter
+        assert m[-1] == 10  # coarsest gets miniter
+        assert all(m[i] >= m[i + 1] for i in range(4))
+
+
+class TestExperimentRun:
+    def test_solve_eval_produces_artifacts(self, tmp_path):
+        cfg = tiny_cfg(tmp_path)
+        exp = EINCMExperiment(cfg)
+        exp.run()
+
+        out = exp.out_dir
+        assert (out / "opt_results.npz").exists()
+        assert (out / "eval_results.npz").exists()
+        assert (out / "scores.txt").exists()
+
+        loader = EINCMOutputLoader()
+        opt = loader.load_opt_results(out / "opt_results.npz")
+        validate_opt_results(opt, cfg.solver.n_pyr_lvls)
+        assert len(opt) == 3
+        ev = loader.load_eval_results(out / "eval_results.npz")
+        validate_eval_results(ev)
+
+        scores = (out / "scores.txt").read_text()
+        assert "AEE" in scores and "fwl" in scores
+
+    def test_solve_recovers_flow(self, tmp_path):
+        cfg = tiny_cfg(tmp_path)
+        exp = EINCMExperiment(cfg)
+        exp.run_solver()
+        exp.run_eval()
+        aees = [
+            float(np.asarray(rec["evals"]["AEE"]))
+            for rec in exp.eval_results.values()
+        ]
+        # zero-theta AEE would be |v| = 2.24; solved must be clearly better
+        assert np.mean(aees) < 1.5, aees
+
+    def test_checkpoint_resume(self, tmp_path):
+        cfg = tiny_cfg(tmp_path)
+        cfg.phases.checkpoint_every_percent = 34.0  # after every ~1 window
+        cfg.phases.delete_checkpoints_at_end = False
+        exp = EINCMExperiment(cfg)
+        exp.run_solver()
+        ckpts = sorted(exp.ckpt_dir.glob("checkpoint_*.npz"))
+        assert ckpts, "no checkpoints written"
+
+        # resume from the first checkpoint; must re-solve only later windows
+        cfg2 = tiny_cfg(tmp_path / "resumed")
+        cfg2.phases.run_from_checkpoint = str(ckpts[0])
+        exp2 = EINCMExperiment(cfg2)
+        exp2.run_solver()
+        assert len(exp2.opt_results) == 3
+
+    def test_plot_phase(self, tmp_path):
+        cfg = tiny_cfg(tmp_path)
+        cfg.phases.plot = True
+        exp = EINCMExperiment(cfg)
+        exp.run()
+        pngs = list((exp.out_dir / "plots").glob("end_result_*.png"))
+        assert len(pngs) == 3
+        assert (exp.out_dir / "plots" / "seq_aee.png").exists()
+        assert (exp.out_dir / "plots" / "end_results.gif").exists()
+
+
+class TestDSECSubmission:
+    def test_export_pngs(self, tmp_path):
+        cfg = tiny_cfg(tmp_path)
+        exp = EINCMExperiment(cfg)
+        exp.run_solver()
+
+        # fake an eval-ts csv with file indices
+        csv = tmp_path / "seq.csv"
+        csv.write_text(
+            "# from_timestamp_us, to_timestamp_us, file_index\n"
+            "0,1,10\n2,3,20\n4,5,30\n"
+        )
+        from eincm_tpu.tools.dsec_submission import export_submission
+
+        written = export_submission(
+            exp.out_dir / "opt_results.npz", csv, tmp_path / "sub"
+        )
+        assert len(written) == 3
+        from eincm_tpu.utils.png16 import read_png16
+
+        img = read_png16(written[0])
+        assert img.shape == (480, 640, 3)
+        assert img.dtype == np.uint16
+        assert np.all(img[..., 2] == 1)
+        # decode back: flow = (enc - 2^15) / 128 must be finite and small
+        flow = (img[..., :2].astype(np.float64) - 2**15) / 128
+        assert np.all(np.abs(flow) < 100)

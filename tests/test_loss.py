@@ -178,3 +178,65 @@ class TestLoss:
         )
         assert np.isclose(float(ho0), lf(cur), rtol=1e-5)
         assert np.isclose(float(ho1), lf(prev), rtol=1e-5)
+
+
+class TestSolverLoss:
+    def test_interp_matches_scale_then_gather(self, rng):
+        from eincm_tpu.ops.resize import scale_theta_to_sensor_size
+        from eincm_tpu.ops.warp import (
+            gather_theta_at_events,
+            interp_theta_at_events,
+        )
+
+        H, W = 48, 56
+        theta = jnp.asarray(rng.normal(0, 2, (6, 7, 2)).astype(np.float32))
+        xs = jnp.asarray(rng.integers(0, W, 500).astype(np.float32))
+        ys = jnp.asarray(rng.integers(0, H, 500).astype(np.float32))
+        full = scale_theta_to_sensor_size(theta, (H, W), "bilinear")
+        ref = gather_theta_at_events(full, xs, ys)
+        out = interp_theta_at_events(theta, xs, ys, (H, W))
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5
+        )
+
+    def test_solver_loss_equals_full_loss(self, window, rng):
+        from eincm_tpu.models.loss import solver_loss
+
+        xs, ys, ts, edges, edge_ts = window
+        statics = LossStatics(SENSOR, 3)
+        ws = compute_window_statics(xs, ys, edges, SENSOR)
+        theta = jnp.asarray(rng.normal(0, 1, (4, 4, 2)).astype(np.float32))
+        for params, lvl in [
+            (LossParams(60.0, 60.0), 1),
+            (LossParams(20.0, 35.0, 0.01, 0.0), 0),
+            (LossParams(20.0, 35.0, 0.0, 0.5), 2),
+            (LossParams(2000.0, 4000.0, 0.1, 0.3), 0),
+        ]:
+            lean = solver_loss(
+                theta, xs, ys, ts, edges, edge_ts, params, lvl, statics, ws
+            )
+            full, _ = loss_func(
+                theta, xs, ys, ts, edges, edge_ts, params, lvl, statics, ws
+            )
+            assert np.isclose(float(lean), float(full), rtol=1e-4), (params, lvl)
+
+    def test_solver_loss_grad_matches_full(self, window):
+        from eincm_tpu.models.loss import solver_loss
+
+        xs, ys, ts, edges, edge_ts = window
+        statics = LossStatics(SENSOR, 3)
+        ws = compute_window_statics(xs, ys, edges, SENSOR)
+        params = LossParams(60.0, 60.0)
+        theta0 = jnp.full((4, 4, 2), 0.5)
+
+        g_lean = jax.grad(solver_loss)(
+            theta0, xs, ys, ts, edges, edge_ts, params, 1, statics, ws
+        )
+        g_full = jax.grad(
+            lambda t: loss_func(
+                t, xs, ys, ts, edges, edge_ts, params, 1, statics, ws
+            )[0]
+        )(theta0)
+        np.testing.assert_allclose(
+            np.asarray(g_lean), np.asarray(g_full), rtol=1e-3, atol=1e-5
+        )
