@@ -76,7 +76,21 @@ def solve_result_to_record(res: SolveResult) -> Dict:
             "theta_opt": {
                 "n_iters": {
                     k: v["iter_num"] for k, v in opt_states.items()
-                }
+                },
+                **(
+                    {
+                        "thetas": {
+                            f"pyr_lvl_{i}": np.asarray(h.xs)[: int(h.n)]
+                            for i, h in enumerate(res.theta_histories)
+                        },
+                        "losses": {
+                            f"pyr_lvl_{i}": np.asarray(h.fs)[: int(h.n)]
+                            for i, h in enumerate(res.theta_histories)
+                        },
+                    }
+                    if res.theta_histories
+                    else {}
+                ),
             },
             "handover_opt": {
                 "n_iters": {k: np.asarray(0) for k in ho_states},

@@ -207,6 +207,20 @@ def _strong_wolfe(
     return alpha, phi, g, out.n_evals, out.ok | improved
 
 
+class BFGSHistory(NamedTuple):
+    """Fixed-size per-iteration trajectory (on-device callback replacement).
+
+    The reference collects intermediate thetas/losses through host-side scipy
+    callbacks requiring a patched jaxopt (src/eincm/callbacks.py:100-221,
+    README.md:92-126); here the while_loop writes into preallocated buffers.
+    Entries beyond `n` are undefined.
+    """
+
+    xs: jax.Array  # (capacity, D) iterates
+    fs: jax.Array  # (capacity,) losses
+    n: jax.Array  # () int32 valid entries
+
+
 class _BFGSState(NamedTuple):
     x: jax.Array
     f: jax.Array
@@ -218,6 +232,8 @@ class _BFGSState(NamedTuple):
     attempt: jax.Array
     n_evals: jax.Array
     status: jax.Array  # -1 = running
+    hist_xs: jax.Array  # (capacity, D) or (0, D)
+    hist_fs: jax.Array  # (capacity,) or (0,)
 
 
 def minimize_bfgs(
@@ -229,7 +245,8 @@ def minimize_bfgs(
     c2: float = 0.9,
     max_ls_evals: int = 25,
     n_extra_attempts: int = 0,
-) -> BFGSResult:
+    record_history: bool = False,
+):
     """Dense-Hessian BFGS, jittable; semantics follow scipy's 'BFGS'.
 
     Args:
@@ -239,6 +256,10 @@ def minimize_bfgs(
         n_extra_attempts: failed-convergence restarts (H reset to identity),
             mirroring the reference solver's retry loop
             (src/eincm/solver.py:218-239).
+        record_history: also return a BFGSHistory of per-iteration iterates.
+
+    Returns:
+        BFGSResult, or (BFGSResult, BFGSHistory) when record_history.
     """
     dtype = x0.dtype
     d = x0.shape[0]
@@ -309,6 +330,14 @@ def minimize_bfgs(
         status = jnp.where(retry, -1, status)
         h_inv = jnp.where(retry, eye, h_inv)
 
+        if record_history:
+            hist_xs = jax.lax.dynamic_update_slice(
+                s.hist_xs, x_new[None, :], (s.k_total, jnp.int32(0))
+            )
+            hist_fs = s.hist_fs.at[s.k_total].set(f_new)
+        else:
+            hist_xs, hist_fs = s.hist_xs, s.hist_fs
+
         return _BFGSState(
             x=x_new,
             f=f_new,
@@ -320,8 +349,11 @@ def minimize_bfgs(
             attempt=jnp.where(retry, s.attempt + 1, s.attempt),
             n_evals=s.n_evals + ls_evals,
             status=status,
+            hist_xs=hist_xs,
+            hist_fs=hist_fs,
         )
 
+    capacity = maxiter * (n_extra_attempts + 1) if record_history else 0
     init = _BFGSState(
         x=x0,
         f=f0,
@@ -333,11 +365,13 @@ def minimize_bfgs(
         attempt=jnp.int32(0),
         n_evals=jnp.int32(1),
         status=jnp.where(jnp.max(jnp.abs(g0)) <= gtol_a, 0, -1).astype(jnp.int32),
+        hist_xs=jnp.zeros((capacity, d), dtype),
+        hist_fs=jnp.zeros((capacity,), dtype),
     )
     out = jax.lax.while_loop(cond, body, init)
 
     success = jnp.max(jnp.abs(out.g)) <= gtol_a
-    return BFGSResult(
+    result = BFGSResult(
         x=out.x,
         fun_val=out.f,
         grad=out.g,
@@ -348,6 +382,9 @@ def minimize_bfgs(
         success=success,
         status=out.status,
     )
+    if record_history:
+        return result, BFGSHistory(xs=out.hist_xs, fs=out.hist_fs, n=out.k_total)
+    return result
 
 
 def minimize_bounded_scalar(

@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from eincm_tpu.models.bfgs import (
+    BFGSHistory,
     BFGSResult,
     minimize_bfgs,
     minimize_bounded_scalar,
@@ -90,6 +91,10 @@ class SolverConfig:
     scale_to_sensor_size_method: str = "bilinear"
     handover: HandoverSettings = field(default_factory=HandoverSettings)
     max_ls_evals: int = 25
+    # record per-iteration (theta, loss) trajectories per level — the
+    # on-device equivalent of the reference's collecting solver callbacks
+    # (src/eincm/callbacks.py:100-221)
+    collect_intermediate: bool = False
 
     def __post_init__(self):
         bases = self.pyramid_bases
@@ -155,6 +160,7 @@ class SolveResult(NamedTuple):
     final_theta_pyr: Tuple[jax.Array, ...]
     theta_opt_states: Tuple[BFGSResult, ...]
     final_handover_weights: Tuple[jax.Array, ...]
+    theta_histories: Tuple[BFGSHistory, ...] = ()  # per level, when collected
 
 
 def _solve_theta_level(
@@ -184,15 +190,20 @@ def _solve_theta_level(
         )
         return loss, grad.reshape(-1)
 
-    res = minimize_bfgs(
+    out = minimize_bfgs(
         fun_and_grad,
         theta0.reshape(-1),
         maxiter=cfg.theta_opt_maxiters[lvl],
         gtol=cfg.theta_gtol,
         max_ls_evals=cfg.max_ls_evals,
         n_extra_attempts=cfg.n_extra_attempts.get(lvl, 0),
+        record_history=cfg.collect_intermediate,
     )
-    return res.x.reshape(shape), res
+    if cfg.collect_intermediate:
+        res, hist = out
+    else:
+        res, hist = out, None
+    return res.x.reshape(shape), res, hist
 
 
 def _solve_handover_weight(
@@ -280,11 +291,12 @@ def solve_window(
     final: list = [None] * n
     opt_states: list = [None] * n
     weights: list = [None] * n
+    histories: list = [None] * n
 
     pre_opt[n - 1] = prior[n - 1]
 
     for lvl in reversed(range(n)):
-        opt[lvl], opt_states[lvl] = _solve_theta_level(
+        opt[lvl], opt_states[lvl], histories[lvl] = _solve_theta_level(
             cfg, lvl, pre_opt[lvl], sample, wstat
         )
 
@@ -326,6 +338,9 @@ def solve_window(
         final_theta_pyr=tuple(final),
         theta_opt_states=tuple(opt_states),
         final_handover_weights=tuple(weights),
+        theta_histories=(
+            tuple(histories) if cfg.collect_intermediate else ()
+        ),
     )
 
 

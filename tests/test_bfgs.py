@@ -115,3 +115,55 @@ class TestBoundedScalar:
             lambda w: float(f(jnp.asarray(w))), bounds=(0.0, 1.0), method="bounded"
         )
         assert float(fx) <= sres.fun + 1e-5
+
+
+def test_history_recording():
+    def f(x):
+        return ((x - 2.0) ** 2).sum()
+
+    from eincm_tpu.models.bfgs import BFGSHistory
+
+    res, hist = minimize_bfgs(
+        _fg(f), jnp.zeros(3), maxiter=20, record_history=True
+    )
+    n = int(hist.n)
+    assert n == int(res.total_iters) and n >= 1
+    # losses monotonically improve to the final value
+    fs = np.asarray(hist.fs)[:n]
+    assert fs[-1] <= fs[0]
+    assert np.isclose(fs[-1], float(res.fun_val))
+    np.testing.assert_allclose(np.asarray(hist.xs)[n - 1], np.asarray(res.x))
+
+
+def test_history_in_solve_result():
+    from eincm_tpu.models.loss import LossParams
+    from eincm_tpu.models.pyramid import (
+        HandoverSettings, SolverConfig, WindowSample, solve_window,
+    )
+
+    rng = np.random.default_rng(5)
+    H = W = 16
+    sample = WindowSample(
+        xs=jnp.asarray(rng.integers(0, W, 128).astype(np.float32)),
+        ys=jnp.asarray(rng.integers(0, H, 128).astype(np.float32)),
+        ts=jnp.asarray(rng.uniform(0, 1, 128).astype(np.float32)),
+        edges=jnp.asarray(rng.uniform(0, 1, (2, H, W)).astype(np.float32)),
+        edge_ts=jnp.asarray([0.0, 1.0], jnp.float32),
+    )
+    cfg = SolverConfig(
+        n_pyr_lvls=2, sensor_size=(H, W),
+        params=LossParams(10.0, 5.0),
+        theta_opt_maxiters=(4, 4),
+        handover=HandoverSettings(use_handover=False),
+        max_ls_evals=5, collect_intermediate=True,
+    )
+    res = solve_window(cfg, sample, cfg.zero_pyramid(), is_first_sample=True)
+    assert len(res.theta_histories) == 2
+    assert res.theta_histories[0].xs.shape == (4, 2 * 2 * 2)
+
+    from eincm_tpu.experiments.outputs import solve_result_to_record
+
+    rec = solve_result_to_record(res)
+    inter = rec["solver_intermediate_results"]["theta_opt"]
+    assert "thetas" in inter and "losses" in inter
+    assert inter["thetas"]["pyr_lvl_0"].shape[0] == int(res.theta_opt_states[0].total_iters)

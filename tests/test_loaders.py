@@ -1,0 +1,312 @@
+"""Dataset loader integration tests against tiny generated on-disk fixtures."""
+
+import numpy as np
+import pytest
+
+h5py = pytest.importorskip("h5py")
+
+
+# ---------------------------------------------------------------------------
+# MVSEC fixture
+# ---------------------------------------------------------------------------
+
+@pytest.fixture
+def mvsec_root(tmp_path):
+    """Minimal outdoor_day2 tree: hdf5 data + Flow GT npz."""
+    rng = np.random.default_rng(0)
+    root = tmp_path / "mvsec"
+    (root / "hdf5/outdoor_day").mkdir(parents=True)
+    (root / "Flow GT/outdoor_day").mkdir(parents=True)
+
+    t0, t1 = 100.0, 104.0
+    n_ev = 20000
+    ts = np.sort(rng.uniform(t0, t1, n_ev))
+    xs = rng.integers(5, 341, n_ev)  # raw sensor coords (346 wide)
+    ys = rng.integers(2, 258, n_ev)
+    ps = rng.integers(0, 2, n_ev)
+    events = np.stack([xs, ys, ts, ps], axis=-1).astype(np.float64)
+
+    n_img = 42
+    img_ts = np.linspace(t0, t1, n_img)
+    images = rng.integers(0, 255, (n_img, 260, 346)).astype(np.uint8)
+
+    with h5py.File(root / "hdf5/outdoor_day/outdoor_day2_data.hdf5", "w") as f:
+        f["davis/left/events"] = events
+        f["davis/left/image_raw"] = images
+        f["davis/left/image_raw_event_inds"] = np.searchsorted(ts, img_ts)
+        f["davis/left/image_raw_ts"] = img_ts
+        f["davis/left/imu"] = rng.normal(0, 1, (100, 6))
+        f["davis/left/imu_ts"] = np.linspace(t0, t1, 100)
+
+    n_gt = 40
+    gt_ts = np.linspace(t0, t1, n_gt)
+    np.savez(
+        root / "Flow GT/outdoor_day/outdoor_day2_gt_flow_dist.npz",
+        timestamps=gt_ts,
+        x_flow_dist=np.full((n_gt, 260, 346), 1.5),
+        y_flow_dist=np.full((n_gt, 260, 346), -0.5),
+    )
+    return root
+
+
+class TestMVSECLoader:
+    def test_contract(self, mvsec_root):
+        from eincm_tpu.data.mvsec import MVSECDataLoader
+
+        dl = MVSECDataLoader(mvsec_root, "outdoor_day2", des_n_events=2000)
+        dl.get_ready()
+        assert dl.sensor_size == (256, 336)
+        assert len(dl) > 0
+        s = dl[len(dl) // 2]  # middle window: room to extend on both sides
+        for k in ["events", "images", "image_ts", "flow_gt", "eval_ts",
+                  "n_event_deficiency", "orig_n_events"]:
+            assert k in s, k
+        assert len(s["events"]["x"]) == 2000
+        assert s["images"].shape[1:] == (256, 336)
+        assert s["flow_gt"].shape == (256, 336, 2)
+        # events are cropped into the 336x256 frame
+        assert s["events"]["x"].max() < 336
+        assert s["events"]["y"].max() < 256
+
+    def test_gt_flow_short_dt_scaling(self, mvsec_root):
+        from eincm_tpu.data.mvsec import MVSECDataLoader
+
+        dl = MVSECDataLoader(mvsec_root, "outdoor_day2", delta_idx=1,
+                             des_n_events=1000)
+        dl.get_ready()
+        s = dl[0]
+        # constant GT field (1.5, -0.5)/gt_dt scaled by window dt
+        t0, t1 = s["eval_ts"]
+        gt_dt = dl.gt_flow_ts[1] - dl.gt_flow_ts[0]
+        expect = 1.5 * (t1 - t0) / gt_dt
+        np.testing.assert_allclose(
+            s["flow_gt"][100, 100, 0], expect, rtol=1e-5
+        )
+
+    def test_gt_flow_propagation_multi_dt(self, mvsec_root):
+        from eincm_tpu.data.mvsec import MVSECDataLoader
+
+        # dt=8 images spans several gt_dt intervals -> propagation path
+        dl = MVSECDataLoader(mvsec_root, "outdoor_day2", delta_idx=8,
+                             des_n_events=1000)
+        dl.get_ready()
+        s = dl[0]
+        t0, t1 = s["eval_ts"]
+        gt_dt = dl.gt_flow_ts[1] - dl.gt_flow_ts[0]
+        # constant field: propagation accumulates ~ (t1-t0)/gt_dt * flow
+        expect = 1.5 * (t1 - t0) / gt_dt
+        mid = s["flow_gt"][100:150, 100:200, 0]
+        assert np.abs(np.median(mid) - expect) < 0.5
+
+    def test_load_more_images(self, mvsec_root):
+        from eincm_tpu.data.mvsec import MVSECDataLoader
+
+        dl = MVSECDataLoader(mvsec_root, "outdoor_day2", delta_idx=4,
+                             des_n_events=1000, load_more_images=True)
+        dl.get_ready()
+        s = dl[0]
+        assert s["images"].shape[0] == 5  # delta_idx + 1 references
+        assert len(s["image_ts"]) == 5
+
+
+# ---------------------------------------------------------------------------
+# DSEC fixture
+# ---------------------------------------------------------------------------
+
+@pytest.fixture
+def dsec_root(tmp_path):
+    """Minimal DSEC train-split tree with identity geometry."""
+    import yaml
+
+    from eincm_tpu.utils.png16 import write_png16
+
+    rng = np.random.default_rng(1)
+    root = tmp_path / "dsec"
+    seq = "mini_seq"
+    ev_dir = root / f"Train/train_events/{seq}/events/left"
+    img_dir = root / f"Train/train_images/{seq}/images"
+    cal_dir = root / f"Train/train_calibration/{seq}/calibration"
+    flow_dir = root / f"Train/train_optical_flow/{seq}/flow"
+    for d in [ev_dir, img_dir / "left/rectified", cal_dir, flow_dir / "forward"]:
+        d.mkdir(parents=True)
+
+    H, W = 480, 640
+    n_ev = 30000
+    t_offset = 1_000_000
+    ts = np.sort(rng.integers(0, 300_000, n_ev)).astype(np.int64)
+    xs = rng.integers(0, W, n_ev).astype(np.uint16)
+    ys = rng.integers(0, H, n_ev).astype(np.uint16)
+    with h5py.File(ev_dir / "events.h5", "w") as f:
+        f["events/x"] = xs
+        f["events/y"] = ys
+        f["events/t"] = ts
+        f["events/p"] = rng.integers(0, 2, n_ev).astype(np.uint8)
+        f["ms_to_idx"] = np.searchsorted(ts, np.arange(300) * 1000)
+        f["t_offset"] = t_offset
+
+    gx, gy = np.meshgrid(np.arange(W), np.arange(H))
+    rect = np.stack([gx, gy], axis=-1).astype(np.float32)  # identity rectify
+    with h5py.File(ev_dir / "rectify_map.h5", "w") as f:
+        f["rectify_map"] = rect
+
+    cam = {
+        "intrinsics": {
+            "cam0": {
+                "camera_matrix": [400.0, 400.0, 320.0, 240.0],
+                "distortion_coeffs": [0.0, 0.0, 0.0, 0.0],
+            },
+            "camRect0": {"camera_matrix": [400.0, 400.0, 320.0, 240.0]},
+            "camRect1": {"camera_matrix": [400.0, 400.0, 320.0, 240.0]},
+        },
+        "extrinsics": {
+            "R_rect0": np.eye(3).tolist(),
+            "R_rect1": np.eye(3).tolist(),
+            "T_10": np.eye(4).tolist(),
+        },
+    }
+    with open(cal_dir / "cam_to_cam.yaml", "w") as f:
+        yaml.safe_dump(cam, f)
+
+    img_ts = (t_offset + np.array([0, 100_000, 200_000, 300_000])).astype(np.int64)
+    np.savetxt(img_dir / "timestamps.txt", img_ts, fmt="%d")
+    from PIL import Image
+
+    for i in range(4):
+        Image.fromarray(
+            rng.integers(0, 255, (H, W)).astype(np.uint8)
+        ).save(img_dir / "left/rectified" / f"{i:06d}.png")
+
+    # two eval windows with GT flow PNGs
+    eval_rows = np.array(
+        [
+            [t_offset, t_offset + 100_000],
+            [t_offset + 100_000, t_offset + 200_000],
+        ],
+        np.int64,
+    )
+    with open(flow_dir / "forward_timestamps.txt", "w") as f:
+        f.write("# from, to\n")
+        for r in eval_rows:
+            f.write(f"{r[0]},{r[1]}\n")
+    for i in range(2):
+        enc = np.zeros((H, W, 3), np.uint16)
+        enc[..., 0] = int(2.0 * 128 + 2**15)  # flow_x = 2.0
+        enc[..., 1] = int(-1.0 * 128 + 2**15)  # flow_y = -1.0
+        enc[..., 2] = 1
+        write_png16(flow_dir / "forward" / f"{i:06d}.png", enc)
+    return root, seq
+
+
+class TestDSECLoader:
+    def test_contract_train(self, dsec_root):
+        from eincm_tpu.data.dsec import DSECDataLoader
+
+        root, seq = dsec_root
+        dl = DSECDataLoader(root, seq, des_n_events=5000, data_split="train")
+        dl.get_ready()
+        assert len(dl) == 2
+        s = dl[0]
+        for k in ["events", "images", "image_ts", "eval_ts_us", "flow_gt",
+                  "valid2D", "n_event_deficiency", "orig_n_events"]:
+            assert k in s, k
+        assert len(s["events"]["x"]) == 5000
+        np.testing.assert_allclose(s["flow_gt"][..., 0], 2.0)
+        np.testing.assert_allclose(s["flow_gt"][..., 1], -1.0)
+        assert s["valid2D"].all()
+        # identity rectification keeps coords in-sensor
+        assert s["events"]["x"].max() < 640
+        # event times restored to absolute microseconds
+        assert s["events"]["t"].min() >= 1_000_000
+
+    def test_identity_undistortion(self, dsec_root):
+        from eincm_tpu.data.dsec import DSECDataLoader
+
+        root, seq = dsec_root
+        dl = DSECDataLoader(root, seq, des_n_events=1000, data_split="train")
+        dl.get_ready()
+        # zero distortion + identity rotation -> rectify map == pixel grid
+        gx, gy = np.meshgrid(np.arange(640), np.arange(480))
+        np.testing.assert_allclose(dl.event_rect_map[..., 0], gx, atol=1e-3)
+        np.testing.assert_allclose(dl.event_rect_map[..., 1], gy, atol=1e-3)
+        # identity homography -> image mapping == pixel grid
+        np.testing.assert_allclose(dl.mapping[..., 0], gx, atol=1e-3)
+
+
+class TestGeometry:
+    def test_undistort_roundtrip_with_distortion(self):
+        from eincm_tpu.data.geometry import _distort, undistort_points_iter
+
+        K = np.array([[400.0, 0, 320], [0, 400.0, 240], [0, 0, 1]])
+        dist = np.array([-0.1, 0.02, 0.001, -0.001])
+        rng = np.random.default_rng(2)
+        # ground-truth undistorted normalized points
+        xn = rng.uniform(-0.5, 0.5, 100)
+        yn = rng.uniform(-0.4, 0.4, 100)
+        xd, yd = _distort(xn, yn, dist)
+        px = xd * K[0, 0] + K[0, 2]
+        py = yd * K[1, 1] + K[1, 2]
+        out = undistort_points_iter(
+            np.stack([px, py]), K, dist, np.eye(3), K
+        )
+        np.testing.assert_allclose(out[:, 0], xn * 400 + 320, atol=1e-2)
+        np.testing.assert_allclose(out[:, 1], yn * 400 + 240, atol=1e-2)
+
+    def test_transform_compose_inverse(self):
+        from scipy.spatial.transform import Rotation as Rot
+
+        from eincm_tpu.data.geometry import Transform
+
+        rng = np.random.default_rng(3)
+        a = Transform(rng.normal(0, 1, 3), Rot.random(rng=rng))
+        b = Transform(rng.normal(0, 1, 3), Rot.random(rng=rng))
+        ab = a @ b
+        ident = ab @ ab.inverse()
+        np.testing.assert_allclose(ident.t(), 0, atol=1e-12)
+        np.testing.assert_allclose(
+            ident.R_matrix(), np.eye(3), atol=1e-12
+        )
+
+    def test_remap_bicubic_identity(self, rng):
+        from eincm_tpu.data.geometry import remap_bicubic
+
+        img = rng.integers(0, 255, (32, 40)).astype(np.uint8)
+        gx, gy = np.meshgrid(np.arange(40), np.arange(32))
+        out = remap_bicubic(img, np.stack([gx, gy], -1).astype(np.float64))
+        np.testing.assert_array_equal(out, img)
+
+    def test_remap_bicubic_shift(self, rng):
+        from eincm_tpu.data.geometry import remap_bicubic
+
+        img = rng.integers(0, 255, (32, 40)).astype(np.uint8)
+        gx, gy = np.meshgrid(np.arange(40), np.arange(32))
+        out = remap_bicubic(
+            img, np.stack([gx + 1.0, gy], -1).astype(np.float64)
+        )
+        np.testing.assert_array_equal(out[:, :-2], img[:, 1:-1])
+
+
+class TestPng16:
+    def test_roundtrip(self, rng):
+        from eincm_tpu.utils.png16 import read_png16, write_png16
+        import tempfile, os
+
+        img = rng.integers(0, 65535, (20, 30, 3)).astype(np.uint16)
+        p = tempfile.mktemp(suffix=".png")
+        write_png16(p, img)
+        back = read_png16(p)
+        np.testing.assert_array_equal(back, img)
+        os.unlink(p)
+
+    def test_pil_can_read_ours(self, rng):
+        """Other tools (e.g. the DSEC benchmark server) must parse our PNGs."""
+        from PIL import Image
+
+        from eincm_tpu.utils.png16 import write_png16
+        import tempfile, os
+
+        img = rng.integers(0, 65535, (8, 8)).astype(np.uint16)
+        p = tempfile.mktemp(suffix=".png")
+        write_png16(p, img)
+        back = np.asarray(Image.open(p))
+        np.testing.assert_array_equal(back, img)
+        os.unlink(p)
