@@ -136,7 +136,7 @@ class SolverSettings:
     pyramid_upscale_method: str = "repeat"
     pyramid_downscale_method: str = "bilinear"
     scale_theta_to_sensor_size_method: str = "bilinear"
-    max_ls_evals: int = 25
+    max_ls_evals: int = 10
 
     def growing_maxiters(self, miniter: int, maxiter: int) -> Tuple[int, ...]:
         """Per-level iteration budgets: more at coarse... actually more at the

@@ -246,6 +246,7 @@ def minimize_bfgs(
     max_ls_evals: int = 25,
     n_extra_attempts: int = 0,
     record_history: bool = False,
+    unit_initial_step: bool = False,
 ):
     """Dense-Hessian BFGS, jittable; semantics follow scipy's 'BFGS'.
 
@@ -286,13 +287,19 @@ def minimize_bfgs(
             f, g = fun_and_grad(xk)
             return f, jnp.vdot(g, p), g
 
-        # scipy's initial-step heuristic: alpha1 = min(1, 1.01*2*(f-f_old)/dphi0)
-        rel = 1.01 * 2.0 * (s.f - s.f_old) / jnp.where(dphi0 == 0, 1.0, dphi0)
-        alpha1 = jnp.where(
-            jnp.isfinite(rel) & (rel > 0),
-            jnp.minimum(1.0, rel),
-            jnp.asarray(1.0, dtype),
-        )
+        if unit_initial_step:
+            # BFGS steps approach the unit Newton step superlinearly; trying
+            # alpha=1 first typically accepts immediately and spares the
+            # bracket-extension evaluations of the scipy heuristic.
+            alpha1 = jnp.asarray(1.0, dtype)
+        else:
+            # scipy's heuristic: alpha1 = min(1, 1.01*2*(f-f_old)/dphi0)
+            rel = 1.01 * 2.0 * (s.f - s.f_old) / jnp.where(dphi0 == 0, 1.0, dphi0)
+            alpha1 = jnp.where(
+                jnp.isfinite(rel) & (rel > 0),
+                jnp.minimum(1.0, rel),
+                jnp.asarray(1.0, dtype),
+            )
 
         alpha, f_new, g_new, ls_evals, ls_ok = _strong_wolfe(
             phi_fn, s.f, dphi0, s.g, alpha1, c1, c2, max_ls_evals

@@ -169,13 +169,14 @@ def _bwd(sensor_size, window_size, interpret, res, g):
         m = jax.lax.dot_general(  # (chunk, W) = U @ G
             u, g, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            # single-pass bf16, consistent with the forward kernel's accuracy
+            precision=jax.lax.Precision.DEFAULT,
         )
         dwx = jnp.sum(m * dv, axis=1)
         mt = jax.lax.dot_general(  # (chunk, H) = V @ G^T
             v, g, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=jax.lax.Precision.DEFAULT,
         )
         dwy = jnp.sum(mt * du, axis=1)
         return dwx, dwy
