@@ -28,6 +28,10 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     cfg = load_config(args.config, args.overrides)
+    if cfg.jax_config:
+        from eincm_tpu.utils.jax_helpers import update_jax_config
+
+        update_jax_config(cfg.jax_config)
     log(f"experiment '{cfg.experiment_name}' on {cfg.dataset.kind}/"
         f"{cfg.dataset.sequence_name}")
     exp = EINCMExperiment(cfg)

@@ -165,6 +165,9 @@ class PhaseSettings:
     plot: bool = False
     n_repeat_solve: int = 1
     run_idx_range: Optional[Tuple[int, int]] = None
+    # multiple [start, end) ranges — the reference's outdoor_day1 'split'
+    # range mode (exp_mgr.py:261-265)
+    run_idx_ranges: Optional[Tuple[Tuple[int, int], ...]] = None
     checkpoint_every_percent: float = 25.0
     delete_checkpoints_at_end: bool = True
     run_from_checkpoint: Optional[str] = None
@@ -184,6 +187,8 @@ class ExperimentConfig:
     output_dir: str = "outputs"
     experiment_name: str = "eincm"
     seed: int = 0
+    # raw jax.config flags applied at startup (reference: configs/jax_config/)
+    jax_config: Dict[str, Any] = field(default_factory=dict)
 
     @property
     def loss_params(self) -> LossParams:

@@ -90,6 +90,9 @@ class EINCMExperiment:
         rng = self.cfg.phases.run_idx_range
         if rng is not None and not (rng[0] <= idx < rng[1]):
             return True
+        ranges = self.cfg.phases.run_idx_ranges
+        if ranges is not None and not any(a <= idx < b for a, b in ranges):
+            return True
         return False
 
     def stage(self, datasample) -> StagedSample:

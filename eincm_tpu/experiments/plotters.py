@@ -148,6 +148,83 @@ class EINCMExperimentPlotter:
                 made.append(self._plot_sequence(s, f"A{n}PE", "↓"))
         return made
 
+    # ------------------------------------------------------- diagnostics
+
+    def plot_nan_theta(self, idx: int, theta: np.ndarray) -> Optional[Path]:
+        """Visualize NaN/Inf locations in a theta field.
+
+        Numerical-debug aid mirroring the reference's NaN visualizer
+        (plotters.py:299-381); returns None when the field is clean.
+        """
+        theta = np.asarray(theta)
+        bad = ~np.isfinite(theta)
+        if not bad.any():
+            return None
+        fig, axes = plt.subplots(1, 2, figsize=(10, 4))
+        for c, ax in enumerate(axes):
+            ax.imshow(bad[..., c], cmap="Reds", interpolation="nearest")
+            ax.set_title(f"non-finite theta[..., {c}] ({bad[..., c].sum()} px)")
+            ax.axis("off")
+        path = self.plot_dir / f"nan_theta_{idx:06d}.png"
+        fig.savefig(path, dpi=110, bbox_inches="tight")
+        plt.close(fig)
+        return path
+
+    def plot_step_results(
+        self, idx: int, staged: StagedSample, thetas, losses
+    ) -> Path:
+        """Optimization-trajectory figure for one window: loss curve plus the
+        flow field at a few intermediate iterates.
+
+        On-device-history analogue of the reference's per-step plots
+        (plotters.py:493-645); `thetas` is (n_steps, D) flat iterates at the
+        finest level, `losses` is (n_steps,).
+        """
+        thetas = np.asarray(thetas)
+        losses = np.asarray(losses)
+        n = len(losses)
+        picks = sorted(set([0, n // 3, 2 * n // 3, n - 1])) if n else []
+
+        fig = plt.figure(figsize=(14, 4))
+        ax0 = fig.add_subplot(1, len(picks) + 1, 1)
+        ax0.plot(losses, lw=1.2)
+        ax0.set_xlabel("iteration")
+        ax0.set_ylabel("loss")
+        ax0.grid(alpha=0.3)
+
+        h = int(np.sqrt(thetas.shape[1] // 2)) if thetas.size else 0
+        for i, p in enumerate(picks):
+            ax = fig.add_subplot(1, len(picks) + 1, i + 2)
+            theta = thetas[p].reshape(h, h, 2)
+            ax.imshow(flow_uv_to_img(theta))
+            ax.set_title(f"iter {p}", fontsize=9)
+            ax.axis("off")
+        path = self.plot_dir / f"step_results_{idx:06d}.png"
+        fig.savefig(path, dpi=110, bbox_inches="tight")
+        plt.close(fig)
+        return path
+
+    def plot_grad_quiver(
+        self, idx: int, theta_full: np.ndarray, grad: np.ndarray, stride: int = 16
+    ) -> Path:
+        """Negative-gradient quiver over the flow map (reference
+        plotters.py neg-grad-loss images)."""
+        theta_full = np.asarray(theta_full)
+        grad = np.asarray(grad)
+        h, w = theta_full.shape[:2]
+        ys, xs = np.mgrid[0:h:stride, 0:w:stride]
+        fig, ax = plt.subplots(figsize=(7, 5))
+        ax.imshow(flow_uv_to_img(theta_full))
+        g = grad[::stride, ::stride] if grad.shape[:2] == (h, w) else None
+        if g is not None:
+            ax.quiver(xs, ys, -g[..., 0], -g[..., 1], color="k", scale=None)
+        ax.set_title(f"flow + negative loss gradient (window {idx})")
+        ax.axis("off")
+        path = self.plot_dir / f"grad_quiver_{idx:06d}.png"
+        fig.savefig(path, dpi=110, bbox_inches="tight")
+        plt.close(fig)
+        return path
+
     # ------------------------------------------------------------- video
 
     def assemble_video(self, fps: int = 2) -> Optional[Path]:

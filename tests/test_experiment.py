@@ -162,3 +162,35 @@ class TestDSECSubmission:
         # decode back: flow = (enc - 2^15) / 128 must be finite and small
         flow = (img[..., :2].astype(np.float64) - 2**15) / 128
         assert np.all(np.abs(flow) < 100)
+
+
+class TestPlotterExtras:
+    def test_nan_visualizer_and_step_plots(self, tmp_path, rng):
+        from eincm_tpu.experiments.plotters import EINCMExperimentPlotter
+
+        cfg = tiny_cfg(tmp_path)
+        p = EINCMExperimentPlotter(cfg, tmp_path / "plots")
+
+        theta = rng.normal(0, 1, (16, 16, 2))
+        assert p.plot_nan_theta(0, theta) is None  # clean field -> no plot
+        theta[3, 4, 0] = np.nan
+        path = p.plot_nan_theta(0, theta)
+        assert path is not None and path.exists()
+
+        thetas = rng.normal(0, 1, (12, 2 * 8 * 8))
+        losses = np.sort(rng.normal(0, 1, 12))[::-1]
+        sp = p.plot_step_results(1, None, thetas, losses)
+        assert sp.exists()
+
+        q = p.plot_grad_quiver(
+            2, rng.normal(0, 1, (32, 32, 2)), rng.normal(0, 1, (32, 32, 2))
+        )
+        assert q.exists()
+
+    def test_split_run_ranges(self, tmp_path):
+        cfg = tiny_cfg(tmp_path)
+        cfg.phases.run_idx_ranges = ((0, 1), (2, 3))
+        exp = EINCMExperiment(cfg)
+        exp.run_solver()
+        keys = sorted(exp.opt_results)
+        assert keys == ["datasample_idx_0", "datasample_idx_2"]
