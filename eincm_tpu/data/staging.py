@@ -96,10 +96,7 @@ def stage_datasample(
     eval_events["t"] = (eval_events["t"] - start_time) / span
 
     # edge extraction (exp_mgr.py:335-350)
-    if preprocess:
-        images_pp = np.stack([_normalize_img(im) for im in images])
-    else:
-        images_pp = np.stack([_normalize_img(im) for im in images])
+    images_pp = np.stack([_normalize_img(im) for im in images])
     if edge_fn is None:
         edge_fn = lambda ims: extract_edges(ims, preprocess=preprocess)
     edges = edge_fn(images)

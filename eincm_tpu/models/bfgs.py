@@ -221,6 +221,51 @@ class BFGSHistory(NamedTuple):
     n: jax.Array  # () int32 valid entries
 
 
+def _armijo_backtrack(
+    fun,
+    fun_and_grad,
+    x,
+    p,
+    f0,
+    dphi0,
+    g0,
+    alpha1,
+    c1: float,
+    max_evals: int,
+):
+    """Backtracking line search with value-only probes.
+
+    Halves alpha until the Armijo condition f(x+ap) <= f0 + c1*a*dphi0 holds
+    (or the probe budget runs out), then evaluates the gradient once at the
+    accepted point. Returns the same tuple shape as `_strong_wolfe`.
+    """
+    dtype = f0.dtype
+
+    def cond(carry):
+        alpha, f_trial, n, done = carry
+        return (~done) & (n < max_evals)
+
+    def body(carry):
+        alpha, _, n, _ = carry
+        f_trial = fun(x + alpha * p)
+        ok = f_trial <= f0 + c1 * alpha * dphi0
+        alpha_next = jnp.where(ok, alpha, alpha * 0.5)
+        return alpha_next, f_trial, n + 1, ok
+
+    alpha, f_trial, n, ok = jax.lax.while_loop(
+        cond, body, (alpha1, f0, jnp.int32(0), jnp.bool_(False))
+    )
+    # value-only probes count ~1/3 of a value+grad eval; round up to 1 each
+    # for the n_fun_evals accounting plus the final gradient evaluation.
+    alpha = jnp.where(ok, alpha, jnp.zeros((), dtype))
+    f_new, g_new = fun_and_grad(x + alpha * p)
+    improved = ok & (f_new < f0)
+    f_new = jnp.where(improved, f_new, f0)
+    g_new = jnp.where(improved, g_new, g0)
+    alpha = jnp.where(improved, alpha, 0.0)
+    return alpha, f_new, g_new, n + 1, improved
+
+
 class _BFGSState(NamedTuple):
     x: jax.Array
     f: jax.Array
@@ -247,6 +292,8 @@ def minimize_bfgs(
     n_extra_attempts: int = 0,
     record_history: bool = False,
     unit_initial_step: bool = False,
+    line_search: str = "wolfe",
+    fun: "Callable[[jax.Array], jax.Array] | None" = None,
 ):
     """Dense-Hessian BFGS, jittable; semantics follow scipy's 'BFGS'.
 
@@ -258,10 +305,18 @@ def minimize_bfgs(
             mirroring the reference solver's retry loop
             (src/eincm/solver.py:218-239).
         record_history: also return a BFGSHistory of per-iteration iterates.
+        line_search: 'wolfe' (strong Wolfe, scipy-parity) or 'armijo'
+            (backtracking with value-only probes — a probe costs a forward
+            pass instead of forward+backward; the gradient is evaluated once
+            at the accepted point; BFGS updates are curvature-skipped).
+        fun: value-only objective, required for 'armijo'.
 
     Returns:
         BFGSResult, or (BFGSResult, BFGSHistory) when record_history.
     """
+    assert line_search in ("wolfe", "armijo")
+    if line_search == "armijo":
+        assert fun is not None, "'armijo' needs the value-only objective"
     dtype = x0.dtype
     d = x0.shape[0]
     eye = jnp.eye(d, dtype=dtype)
@@ -301,9 +356,15 @@ def minimize_bfgs(
                 jnp.asarray(1.0, dtype),
             )
 
-        alpha, f_new, g_new, ls_evals, ls_ok = _strong_wolfe(
-            phi_fn, s.f, dphi0, s.g, alpha1, c1, c2, max_ls_evals
-        )
+        if line_search == "armijo":
+            alpha, f_new, g_new, ls_evals, ls_ok = _armijo_backtrack(
+                fun, fun_and_grad, s.x, p, s.f, dphi0, s.g, alpha1, c1,
+                max_ls_evals,
+            )
+        else:
+            alpha, f_new, g_new, ls_evals, ls_ok = _strong_wolfe(
+                phi_fn, s.f, dphi0, s.g, alpha1, c1, c2, max_ls_evals
+            )
 
         x_new = s.x + alpha * p
         sk = x_new - s.x

@@ -38,8 +38,6 @@ from eincm_tpu.models.loss import (
     LossStatics,
     WindowStatics,
     compute_window_statics,
-    handover_loss_func,
-    loss_func,
     solver_loss,
 )
 from eincm_tpu.ops.resize import downscale_theta, upscale_theta
@@ -93,6 +91,9 @@ class SolverConfig:
     # 10 line-search evaluations keeps end accuracy identical to 25 while
     # cutting total loss evaluations ~40% (measured at MVSEC scale)
     max_ls_evals: int = 10
+    # 'wolfe' = strong Wolfe (scipy parity); 'armijo' = backtracking with
+    # value-only probes (a probe costs a forward pass, not forward+backward)
+    line_search: str = "wolfe"
     # record per-iteration (theta, loss) trajectories per level — the
     # on-device equivalent of the reference's collecting solver callbacks
     # (src/eincm/callbacks.py:100-221)
@@ -143,16 +144,6 @@ class SolverConfig:
         )
 
 
-class LevelState(NamedTuple):
-    """Per-level solve outputs (stacked into the window result)."""
-
-    opt_theta: jax.Array  # theta after BFGS, pre-handover
-    final_theta: jax.Array  # theta after handover blend
-    opt_state: BFGSResult
-    handover_weight: jax.Array  # ()
-    handover_solved: bool
-
-
 class SolveResult(NamedTuple):
     """Mirror of the reference solve() output dict (src/eincm/solver.py:259-267)."""
 
@@ -192,6 +183,20 @@ def _solve_theta_level(
         )
         return loss, grad.reshape(-1)
 
+    def fun_only(flat):
+        return solver_loss(
+            flat.reshape(shape),
+            sample.xs,
+            sample.ys,
+            sample.ts,
+            sample.edges,
+            sample.edge_ts,
+            cfg.params,
+            lvl,
+            statics,
+            wstat,
+        )
+
     out = minimize_bfgs(
         fun_and_grad,
         theta0.reshape(-1),
@@ -200,6 +205,8 @@ def _solve_theta_level(
         max_ls_evals=cfg.max_ls_evals,
         n_extra_attempts=cfg.n_extra_attempts.get(lvl, 0),
         record_history=cfg.collect_intermediate,
+        line_search=cfg.line_search,
+        fun=fun_only,
     )
     if cfg.collect_intermediate:
         res, hist = out

@@ -167,3 +167,23 @@ def test_history_in_solve_result():
     inter = rec["solver_intermediate_results"]["theta_opt"]
     assert "thetas" in inter and "losses" in inter
     assert inter["thetas"]["pyr_lvl_0"].shape[0] == int(res.theta_opt_states[0].total_iters)
+
+
+def test_armijo_line_search():
+    def f(x):
+        return (1 - x[0]) ** 2 + 100.0 * (x[1] - x[0] ** 2) ** 2
+
+    res = minimize_bfgs(
+        _fg(f), jnp.array([-1.2, 1.0]), maxiter=200, gtol=1e-4,
+        line_search="armijo", fun=f,
+    )
+    np.testing.assert_allclose(np.asarray(res.x), [1.0, 1.0], atol=5e-3)
+    assert float(res.fun_val) < 1e-5
+
+
+def test_armijo_requires_fun():
+    with pytest.raises(AssertionError):
+        minimize_bfgs(
+            _fg(lambda x: (x**2).sum()), jnp.zeros(2), maxiter=5,
+            line_search="armijo",
+        )

@@ -154,3 +154,16 @@ class TestSolveWindow:
         np.testing.assert_allclose(
             np.asarray(second.prior_theta_pyr[1]), expect, rtol=1e-5
         )
+
+
+def test_armijo_solver_recovers_flow(rng):
+    sample, v = make_scene(rng)
+    cfg = base_cfg(line_search="armijo")
+    res = solve_window(cfg, sample, cfg.zero_pyramid(), is_first_sample=True)
+    full = np.asarray(
+        scale_theta_to_sensor_size(res.final_theta_pyr[0], cfg.sensor_size)
+    )
+    iy = np.asarray(sample.ys).astype(int)
+    ix = np.asarray(sample.xs).astype(int)
+    aee = np.linalg.norm(full[iy, ix] - v[None, :], axis=-1).mean()
+    assert aee < 0.5 * np.linalg.norm(v)
