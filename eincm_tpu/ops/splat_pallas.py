@@ -137,6 +137,73 @@ def events_to_pdf_frame_pallas(
     )(xsr, ysr)
 
 
+def _bwd_kernel(wx_ref, wy_ref, g_ref, dwx_ref, dwy_ref, *, h, w, hw):
+    """Fused backward: per-event coordinate gradients.
+
+    dwx_e = <(u_e @ G), v'_e>,  dwy_e = <(v_e @ G^T), u'_e> — both contractions
+    run on the MXU with G resident in VMEM; band + band-derivative
+    construction is VPU work fused in the same kernel.
+    """
+    for j in range(_SUBROWS):
+        cy = wy_ref[j, :]
+        cx = wx_ref[j, :]
+
+        def band_pair(coords, n):
+            rounded = jnp.round(coords)
+            idx = jax.lax.broadcasted_iota(jnp.int32, (_LANES, n), 1).astype(
+                jnp.float32
+            )
+            in_band = jnp.abs(idx - rounded[:, None]) <= (hw + 0.5)
+            q = idx - coords[:, None]
+            gk = jnp.exp(-0.5 * q * q) * _INV_SQRT_2PI
+            return (
+                jnp.where(in_band, gk, 0.0),
+                jnp.where(in_band, q * gk, 0.0),
+            )
+
+        u, du = band_pair(cy, h)  # (128, H)
+        v, dv = band_pair(cx, w)  # (128, W)
+        m = jax.lax.dot_general(  # (128, W) = U @ G
+            u, g_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dwx_ref[j, :] = jnp.sum(m * dv, axis=1)
+        mt = jax.lax.dot_general(  # (128, H) = V @ G^T
+            v, g_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dwy_ref[j, :] = jnp.sum(mt * du, axis=1)
+
+
+def _bwd_pallas(xs32, ys32, g, sensor_size, window_size):
+    H, W = sensor_size
+    hw = window_size // 2
+    n = xs32.shape[0]
+    xsr, ysr, n_chunks = _pad_chunks(xs32, ys32, _CHUNK)
+    xsr = xsr.reshape(n_chunks * _SUBROWS, _LANES)
+    ysr = ysr.reshape(n_chunks * _SUBROWS, _LANES)
+
+    kernel = partial(_bwd_kernel, h=H, w=W, hw=hw)
+    spec_ev = pl.BlockSpec(
+        (_SUBROWS, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    dwx, dwy = pl.pallas_call(
+        kernel,
+        grid=(n_chunks,),
+        in_specs=[
+            spec_ev,
+            spec_ev,
+            pl.BlockSpec((H, W), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(spec_ev, spec_ev),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_chunks * _SUBROWS, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_chunks * _SUBROWS, _LANES), jnp.float32),
+        ),
+    )(xsr, ysr, g)
+    return dwx.reshape(-1)[:n], dwy.reshape(-1)[:n]
+
+
 def _fwd(xs, ys, sensor_size, window_size, interpret):
     out = events_to_pdf_frame_pallas(xs, ys, sensor_size, window_size, interpret)
     return out, (xs, ys)
@@ -149,8 +216,15 @@ def _bwd(sensor_size, window_size, interpret, res, g):
     xs32 = xs.astype(jnp.float32)
     ys32 = ys.astype(jnp.float32)
     n = xs32.shape[0]
-    xsr, ysr, n_chunks = _pad_chunks(xs32, ys32, _CHUNK)
     g = g.astype(jnp.float32)
+
+    if not interpret and jax.default_backend() == "tpu":
+        dwx, dwy = _bwd_pallas(xs32, ys32, g, sensor_size, window_size)
+        dwx = jnp.where(jnp.isfinite(dwx), dwx, 0.0).astype(xs.dtype)
+        dwy = jnp.where(jnp.isfinite(dwy), dwy, 0.0).astype(ys.dtype)
+        return dwx, dwy
+
+    xsr, ysr, n_chunks = _pad_chunks(xs32, ys32, _CHUNK)
 
     def band_pair(coords, n_axis):
         """(chunk, n_axis) banded weights and their d/dcoord."""
