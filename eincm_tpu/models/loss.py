@@ -30,8 +30,8 @@ from eincm_tpu.models.objectives import (
     compute_mean_squared_error,
     iwe_divergence,
     per_pix_theta_divergence,
-    per_pix_total_variation,
 )
+from eincm_tpu.ops.filters import scharr_grads
 from eincm_tpu.ops.normalize import normalize_to_unit_range
 from eincm_tpu.ops.resize import scale_theta_to_sensor_size
 from eincm_tpu.ops.splat import events_to_pdf_frame, make_event_mask
@@ -139,8 +139,6 @@ def _theta_objectives(
     # Total variation over the event-masked flow field; the mask is a window
     # static, so reuse it instead of re-deriving it from events.
     flow = scaled_theta * statics.event_mask[..., None].astype(dtype)
-    from eincm_tpu.ops.filters import scharr_grads  # local to avoid cycle
-
     gx = scharr_grads(flow[..., 0])
     gy = scharr_grads(flow[..., 1])
     nz = (
@@ -335,8 +333,6 @@ def solver_loss(
             theta, sensor_size, statics.scale_to_sensor_size_method
         )
         flow = scaled * window_statics.event_mask[..., None].astype(dtype)
-        from eincm_tpu.ops.filters import scharr_grads
-
         gx = scharr_grads(flow[..., 0])
         gy = scharr_grads(flow[..., 1])
         nz = (

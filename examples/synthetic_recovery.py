@@ -61,15 +61,17 @@ cfg = SolverConfig(
 solver = make_window_solver(cfg)
 prior = cfg.zero_pyramid()
 
+# NOTE: block_until_ready does not synchronize on relayed backends — force a
+# real sync with a scalar readback before trusting any timing.
 t0 = time.time()
 res = solver(sample, prior, is_first=True)
-jax.block_until_ready(res.final_theta_pyr)
+_ = float(res.final_theta_pyr[0].sum())
 t1 = time.time()
 print(f"first-window solve (incl. compile): {t1-t0:.1f}s")
 
 t0 = time.time()
 res2 = solver(sample, res.final_theta_pyr, is_first=False)
-jax.block_until_ready(res2.final_theta_pyr)
+_ = float(res2.final_theta_pyr[0].sum())
 t1 = time.time()
 print(f"second-window solve (compiled, with handover): {t1-t0:.2f}s")
 

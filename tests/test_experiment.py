@@ -194,3 +194,25 @@ class TestPlotterExtras:
         exp.run_solver()
         keys = sorted(exp.opt_results)
         assert keys == ["datasample_idx_0", "datasample_idx_2"]
+
+
+def test_cli_smoke(tmp_path):
+    """End-user CLI flow: python -m eincm_tpu.experiments with overrides."""
+    from eincm_tpu.experiments.__main__ import main
+
+    exp = main([
+        "dataset.kind=synthetic",
+        "dataset.sensor_size=[24, 24]",
+        "dataset.des_n_events=256",
+        "dataset.n_windows=2",
+        "solver.n_pyr_lvls=2",
+        "solver.theta_maxiter=3",
+        "solver.theta_miniter=2",
+        "solver.max_ls_evals=4",
+        "alpha=30", "beta=0",
+        "edge.enable_image_preprocessing=false",
+        f"output_dir={tmp_path}",
+        "phases.plot=false",
+    ])
+    assert (exp.out_dir / "opt_results.npz").exists()
+    assert (exp.out_dir / "scores.txt").exists()

@@ -310,3 +310,64 @@ class TestPng16:
         back = np.asarray(Image.open(p))
         np.testing.assert_array_equal(back, img)
         os.unlink(p)
+
+
+# ---------------------------------------------------------------------------
+# ECD fixture
+# ---------------------------------------------------------------------------
+
+@pytest.fixture
+def ecd_root(tmp_path):
+    """Minimal ECD sequence: events.txt, images.txt, images/."""
+    from PIL import Image
+
+    rng = np.random.default_rng(4)
+    seq = tmp_path / "ecd" / "slider_mini"
+    (seq / "images").mkdir(parents=True)
+
+    n_ev = 5000
+    ts = np.sort(rng.uniform(0, 1.0, n_ev))
+    xs = rng.integers(0, 240, n_ev)
+    ys = rng.integers(0, 180, n_ev)  # raw 180-row sensor, loader crops y-2
+    ps = rng.integers(0, 2, n_ev)
+    with open(seq / "events.txt", "w") as f:
+        for row in zip(ts, xs, ys, ps):
+            f.write(f"{row[0]:.9f} {row[1]} {row[2]} {row[3]}\n")
+
+    img_ts = np.linspace(0, 1.0, 6)
+    with open(seq / "images.txt", "w") as f:
+        for i, t in enumerate(img_ts):
+            f.write(f"{t:.9f} images/frame_{i:08d}.png\n")
+    for i in range(6):
+        Image.fromarray(
+            rng.integers(0, 255, (180, 240)).astype(np.uint8)
+        ).save(seq / "images" / f"frame_{i:08d}.png")
+    return tmp_path / "ecd"
+
+
+class TestECDLoader:
+    def test_contract(self, ecd_root):
+        from eincm_tpu.data.ecd import ECDDataLoader
+
+        dl = ECDDataLoader(ecd_root, "slider_mini", des_n_events=1000)
+        dl.get_ready()
+        assert dl.sensor_size == (176, 240)
+        assert len(dl) == 5
+        s = dl[2]
+        for k in ["events", "images", "image_ts", "eval_ts",
+                  "n_event_deficiency", "orig_n_events"]:
+            assert k in s, k
+        assert len(s["events"]["x"]) == 1000
+        assert s["images"].shape[1:] == (176, 240)
+        assert s["events"]["y"].max() < 176  # y-2 crop applied
+
+    def test_stages_into_solver_sample(self, ecd_root):
+        from eincm_tpu.data.ecd import ECDDataLoader
+        from eincm_tpu.data.staging import stage_datasample
+
+        dl = ECDDataLoader(ecd_root, "slider_mini", des_n_events=500)
+        dl.get_ready()
+        staged = stage_datasample(dl[1], preprocess=False)
+        assert staged.window.edges.shape[1:] == (176, 240)
+        t = np.asarray(staged.window.ts)
+        assert t.min() > -0.5 and t.max() < 1.5
