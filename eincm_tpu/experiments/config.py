@@ -171,6 +171,9 @@ class PhaseSettings:
     checkpoint_every_percent: float = 25.0
     delete_checkpoints_at_end: bool = True
     run_from_checkpoint: Optional[str] = None
+    # solve all windows with the two-pass handover schedule, sharded over the
+    # available device mesh (SURVEY.md §2.3 / §7 prior-chain strategy)
+    parallel_windows: bool = False
 
 
 @dataclass

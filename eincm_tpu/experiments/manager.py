@@ -105,6 +105,8 @@ class EINCMExperiment:
     # ----------------------------------------------------------------- solve
 
     def run_solver(self):
+        if self.cfg.phases.parallel_windows:
+            return self.run_solver_parallel()
         dl = self._prepare_dataloader()
         self._maybe_resume()
         if self._prior_pyr is None:
@@ -116,10 +118,11 @@ class EINCMExperiment:
         )
         t_begin = time.perf_counter()
         n_done = 0
-        for idx in range(n):
-            if self._skip_idx(idx):
-                continue
-            staged = self.stage(dl[idx])
+        indices = [i for i in range(n) if not self._skip_idx(i)]
+        from eincm_tpu.data.prefetch import StagingPrefetcher
+
+        prefetcher = StagingPrefetcher(dl, indices, self.stage, depth=2)
+        for idx, staged in prefetcher:
             for _ in range(self.cfg.phases.n_repeat_solve):
                 res = self.window_solver(
                     staged.window, self._prior_pyr, is_first=self._is_first
@@ -148,6 +151,66 @@ class EINCMExperiment:
         if self.cfg.phases.delete_checkpoints_at_end:
             for p in self.ckpt_dir.glob("checkpoint_*.npz"):
                 p.unlink()
+        return self.opt_results
+
+    def run_solver_parallel(self):
+        """Whole-sequence solve with the two-pass handover schedule, sharded
+        over all available devices (one window per device shard).
+
+        Pass 1 solves every window prior-free in parallel; pass 2 re-solves
+        with each window's prior taken from its predecessor's pass-1 result
+        (SURVEY.md §7 "sequential prior chain" strategy).
+        """
+        import jax
+
+        from eincm_tpu.parallel.batch import (
+            make_window_mesh,
+            two_pass_sequence_solve,
+        )
+
+        dl = self._prepare_dataloader()
+        n = len(dl)
+        # NaN-pad every window to a common fixed event count (padded events
+        # contribute nothing to any splat/mask) so windows stack and shard
+        raw = [dl[i] for i in range(n)]
+        pad_to = max(len(r["events"]["x"]) for r in raw)
+        staged = [
+            stage_datasample(
+                r,
+                edge_fn=self.edge_fn,
+                preprocess=self.cfg.edge.enable_image_preprocessing,
+                pad_to=pad_to,
+            )
+            for r in raw
+        ]
+
+        n_dev = len(jax.devices())
+        # pad the batch to a multiple of the device count by repeating the
+        # last window (discarded after the solve)
+        batch_n = -(-n // n_dev) * n_dev
+        pads = batch_n - n
+        samples = [s.window for s in staged] + [staged[-1].window] * pads
+        batch = jax.tree_util.tree_map(lambda *a: jnp.stack(a), *samples)
+
+        mesh = make_window_mesh()
+        pass2, final = two_pass_sequence_solve(
+            self.cfg.solver_config(), batch, mesh
+        )
+        for i in range(n):
+            rec = jax.tree_util.tree_map(lambda x: x[i], pass2)
+            rec = rec._replace(
+                final_theta_pyr=tuple(lvl[i] for lvl in final)
+            )
+            self.opt_results[f"datasample_idx_{i}"] = solve_result_to_record(rec)
+
+        validate_opt_results(self.opt_results, self.solver_cfg.n_pyr_lvls)
+        save_opt_results(
+            self.out_dir / "opt_results.npz", self.opt_results, self.cfg.to_dict()
+        )
+        ok(
+            f"opt_results.npz saved ({n} windows, two-pass over "
+            f"{n_dev} device(s))"
+        )
         return self.opt_results
 
     def save_checkpoint(self, idx: int, total: int):

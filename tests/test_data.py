@@ -175,3 +175,47 @@ class TestEdgePipeline:
         ).astype(np.uint8)
         out = nl_means_denoise(noisy, h=10)
         assert out.std() < noisy.std() * 0.7
+
+
+class TestPrefetcher:
+    def test_order_and_completeness(self):
+        from eincm_tpu.data.prefetch import StagingPrefetcher
+
+        calls = []
+
+        class FakeLoader:
+            def __getitem__(self, i):
+                return {"idx": i}
+
+        def stage(sample):
+            calls.append(sample["idx"])
+            return sample["idx"] * 10
+
+        pf = StagingPrefetcher(FakeLoader(), [0, 2, 5], stage, depth=2)
+        out = list(pf)
+        assert out == [(0, 0), (2, 20), (5, 50)]
+        assert sorted(calls) == [0, 2, 5]
+
+    def test_empty(self):
+        from eincm_tpu.data.prefetch import StagingPrefetcher
+
+        pf = StagingPrefetcher(None, [], lambda s: s)
+        assert list(pf) == []
+
+    def test_exception_propagates(self):
+        from eincm_tpu.data.prefetch import StagingPrefetcher
+
+        class FakeLoader:
+            def __getitem__(self, i):
+                return i
+
+        def stage(i):
+            if i == 1:
+                raise ValueError("boom")
+            return i
+
+        pf = StagingPrefetcher(FakeLoader(), [0, 1], stage, depth=2)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            list(pf)

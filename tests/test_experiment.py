@@ -216,3 +216,22 @@ def test_cli_smoke(tmp_path):
     ])
     assert (exp.out_dir / "opt_results.npz").exists()
     assert (exp.out_dir / "scores.txt").exists()
+
+
+def test_parallel_windows_mode(tmp_path):
+    """Two-pass sharded solve through the manager produces valid artifacts."""
+    cfg = tiny_cfg(tmp_path)
+    cfg.dataset.n_windows = 4
+    cfg.phases.parallel_windows = True
+    cfg.phases.eval = True
+    exp = EINCMExperiment(cfg)
+    exp.run_solver()
+    assert len(exp.opt_results) == 4
+    from eincm_tpu.experiments.outputs import validate_opt_results
+
+    validate_opt_results(exp.opt_results, cfg.solver.n_pyr_lvls)
+    exp.run_eval()
+    aees = [
+        float(np.asarray(r["evals"]["AEE"])) for r in exp.eval_results.values()
+    ]
+    assert np.mean(aees) < 1.6, aees
