@@ -46,6 +46,7 @@ def stage_datasample(
     edge_fn: Optional[Callable] = None,
     preprocess: bool = True,
     pad_to: Optional[int] = None,
+    sort_by_row: bool = False,
     dtype=np.float32,
 ) -> StagedSample:
     """Stage one raw loader sample.
@@ -56,6 +57,10 @@ def stage_datasample(
         edge_fn: images -> (n_imgs, H, W) edge maps; defaults to the full
             preprocess->canny->smoothen pipeline.
         pad_to: optionally pad events to this fixed count with NaNs.
+        sort_by_row: reorder events by sensor row (stable) so the row-banded
+            splat (`set_splat_impl('banded')`) sees row-local chunks. All
+            loss reductions are permutation-invariant; the eval-event subset
+            keeps its time order.
     """
     ev = datasample["events"]
     xs = np.asarray(ev["x"], np.float64)
@@ -94,6 +99,10 @@ def stage_datasample(
     ts_n = (ts - start_time) / span
     image_ts_n = (image_ts - start_time) / span
     eval_events["t"] = (eval_events["t"] - start_time) / span
+
+    if sort_by_row:
+        order = np.argsort(ys, kind="stable")
+        xs, ys, ts_n, ps = xs[order], ys[order], ts_n[order], ps[order]
 
     # edge extraction (exp_mgr.py:335-350)
     images_pp = np.stack([_normalize_img(im) for im in images])

@@ -61,7 +61,7 @@ _SPLAT_IMPL = "pallas"
 
 
 def set_splat_impl(name: str) -> None:
-    assert name in ("xla", "pallas"), name
+    assert name in ("xla", "pallas", "banded"), name
     global _SPLAT_IMPL
     _SPLAT_IMPL = name
 
@@ -140,6 +140,8 @@ def events_to_pdf_frame(
         from eincm_tpu.ops.splat_pallas import events_to_pdf_frame_pallas
 
         return events_to_pdf_frame_pallas(xs, ys, sensor_size, window_size)
+    if _SPLAT_IMPL == "banded":
+        return events_to_pdf_frame_banded(xs, ys, sensor_size, window_size)
     if chunk_size is None:
         chunk_size = _auto_chunk(xs.shape[0], H, W)
     dtype = jnp.result_type(xs.dtype, jnp.float32)
@@ -181,6 +183,81 @@ def events_to_pdf_frame(
             preferred_element_type=dtype,
             precision=_SPLAT_PRECISION,
         )
+        return frame, None
+
+    frame0 = jnp.zeros((H, W), dtype)
+    frame, _ = jax.lax.scan(step, frame0, (xs, ys))
+    return frame
+
+
+def events_to_pdf_frame_banded(
+    xs: jax.Array,
+    ys: jax.Array,
+    sensor_size: Tuple[int, int],
+    window_size: int = 3,
+    band: int = 128,
+    chunk_size: int = 2048,
+) -> jax.Array:
+    """Row-banded IWE splat for events pre-sorted by unwarped row.
+
+    When events arrive sorted by y, a fixed-size chunk's *warped* rows span a
+    narrow range (the chunk's unwarped rows span ~chunk/(E/H) rows; warping
+    shifts them by at most max|theta_y * dt|). Each chunk therefore
+    contracts against a (band, W) output slab anchored at its own minimum
+    warped row instead of the full (H, W) frame:
+
+        MACs/event: band * W   vs   H * W   (3.75x fewer at DSEC scale with
+                                             band=128, H=480)
+
+    Contributions more than `band` rows above a chunk's minimum warped row
+    are dropped — with the default band this only happens when the vertical
+    velocity exceeds ~(band - chunk_row_span - 3) pixels per window, far
+    beyond any reference configuration. Column displacement is unrestricted.
+
+    Use via `set_splat_impl('banded')` together with row-sorted staging
+    (`stage_datasample(..., sort_by_row=True)`); all loss reductions are
+    permutation-invariant, so event order is free.
+    """
+    H, W = sensor_size
+    hw = window_size // 2
+    band = min(band, H)
+    dtype = jnp.result_type(xs.dtype, jnp.float32)
+    xs = xs.astype(dtype)
+    ys = ys.astype(dtype)
+
+    n = xs.shape[0]
+    n_chunks = max(1, -(-n // chunk_size))
+    pad = n_chunks * chunk_size - n
+    if pad:
+        fill = jnp.full((pad,), jnp.nan, dtype)
+        xs = jnp.concatenate([xs, fill])
+        ys = jnp.concatenate([ys, fill])
+    xs = xs.reshape(n_chunks, chunk_size)
+    ys = ys.reshape(n_chunks, chunk_size)
+
+    iota_b = jnp.arange(band, dtype=dtype)
+
+    def step(frame, chunk):
+        cx, cy = chunk
+        # anchor the band one row below the chunk's lowest warped row;
+        # all-NaN (padding) chunks anchor at 0 and contribute nothing
+        lo = jnp.nanmin(cy)
+        lo = jnp.where(jnp.isfinite(lo), lo, 0.0)
+        b = jnp.clip(jnp.round(lo) - hw, 0, H - band).astype(jnp.int32)
+
+        rows = b.astype(dtype) + iota_b  # (band,) global row coords
+        rounded = jnp.round(cy)
+        in_band = jnp.abs(rows[None, :] - rounded[:, None]) <= (hw + 0.5)
+        q = rows[None, :] - cy[:, None]
+        u = jnp.where(in_band, _gauss1d(q), jnp.zeros((), dtype))  # (E, band)
+        v = _axis_weights(cx, W, hw)  # (E, W)
+        partial = jax.lax.dot_general(
+            u, v, (((0,), (0,)), ((), ())),
+            preferred_element_type=dtype,
+            precision=_SPLAT_PRECISION,
+        )  # (band, W)
+        slab = jax.lax.dynamic_slice(frame, (b, 0), (band, W))
+        frame = jax.lax.dynamic_update_slice(frame, slab + partial, (b, 0))
         return frame, None
 
     frame0 = jnp.zeros((H, W), dtype)

@@ -25,8 +25,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 _INV_SQRT_2PI = 1.0 / math.sqrt(2.0 * math.pi)
 
-# events per grid step; VMEM use ~= CHUNK*(H+W)*4 + H*W*4 bytes
-_CHUNK = 1024
+# events per grid step (weights are built 128 events at a time, so VMEM use
+# is ~(H+W)*128*4 + H*W*4 bytes regardless); 4096 measured ~8% faster than
+# 1024 at DSEC scale (amortizes grid-step overhead)
+_CHUNK = 4096
 
 
 # events are laid out (rows_of_128, 128): each grid step consumes a

@@ -114,3 +114,65 @@ def test_splat_gradient_finite_difference(rng):
     eps = 1e-3
     fd = (f(eps) - f(-eps)) / (2 * eps)
     assert np.isclose(float(g), float(fd), rtol=1e-2)
+
+
+class TestBandedSplat:
+    def _sorted_events(self, rng, n=2000, vy=2.0):
+        h, w = SENSOR
+        ys0 = np.sort(rng.uniform(1, h - 2, n)).astype(np.float32)
+        xs = rng.uniform(0, w - 1, n).astype(np.float32)
+        # warped rows: sorted base plus bounded displacement
+        dts = rng.uniform(0, 1, n).astype(np.float32)
+        wy = ys0 - vy * dts
+        return jnp.asarray(xs), jnp.asarray(wy)
+
+    def test_matches_standard_when_sorted(self, rng):
+        from eincm_tpu.ops.splat import events_to_pdf_frame_banded
+
+        xs, wy = self._sorted_events(rng)
+        # band=12 < H=24: genuinely sub-band (chunk row span ~2 + vy 2 + window)
+        a = events_to_pdf_frame_banded(xs, wy, SENSOR, band=12, chunk_size=128)
+        b = events_to_pdf_frame(xs, wy, SENSOR)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-5)
+
+    def test_nan_padding(self, rng):
+        from eincm_tpu.ops.splat import events_to_pdf_frame_banded
+
+        xs, wy = self._sorted_events(rng, n=300)
+        a = events_to_pdf_frame_banded(xs, wy, SENSOR, band=12, chunk_size=128)
+        xs2 = jnp.concatenate([xs, jnp.array([jnp.nan])])
+        wy2 = jnp.concatenate([wy, jnp.array([jnp.nan])])
+        b = events_to_pdf_frame_banded(xs2, wy2, SENSOR, band=12, chunk_size=128)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)
+
+    def test_gradient_matches_standard(self, rng):
+        import jax
+
+        from eincm_tpu.ops.splat import events_to_pdf_frame_banded
+
+        xs, wy = self._sorted_events(rng, n=2000)
+        cot = jnp.asarray(rng.normal(0, 1, SENSOR).astype(np.float32))
+
+        def f_banded(wy):
+            return (events_to_pdf_frame_banded(xs, wy, SENSOR, band=12,
+                                               chunk_size=128) * cot).sum()
+
+        def f_std(wy):
+            return (events_to_pdf_frame(xs, wy, SENSOR) * cot).sum()
+
+        g_b = jax.grad(f_banded)(wy)
+        g_s = jax.grad(f_std)(wy)
+        np.testing.assert_allclose(np.asarray(g_b), np.asarray(g_s),
+                                   rtol=1e-3, atol=1e-5)
+
+    def test_excessive_displacement_drops(self, rng):
+        """Rows beyond the band above a chunk's min warped row are dropped."""
+        from eincm_tpu.ops.splat import events_to_pdf_frame_banded
+
+        wy = jnp.asarray(np.array([2.0, 22.0], np.float32))  # span > band=8
+        xs = jnp.asarray(np.array([5.0, 5.0], np.float32))
+        a = events_to_pdf_frame_banded(xs, wy, SENSOR, band=8, chunk_size=512)
+        # first event present, second dropped
+        assert float(a[2, 5]) > 0
+        assert float(a[22, 5]) == 0.0
