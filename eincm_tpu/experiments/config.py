@@ -137,6 +137,7 @@ class SolverSettings:
     pyramid_downscale_method: str = "bilinear"
     scale_theta_to_sensor_size_method: str = "bilinear"
     max_ls_evals: int = 10
+    line_search: str = "wolfe"  # 'wolfe' (scipy parity) | 'armijo' (faster)
 
     def growing_maxiters(self, miniter: int, maxiter: int) -> Tuple[int, ...]:
         """Per-level iteration budgets: more at coarse... actually more at the
@@ -217,6 +218,7 @@ class ExperimentConfig:
             scale_to_sensor_size_method=s.scale_theta_to_sensor_size_method,
             handover=self.handover,
             max_ls_evals=s.max_ls_evals,
+            line_search=s.line_search,
         )
 
     # ------------------------------------------------------------- serialize
