@@ -28,6 +28,11 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     cfg = load_config(args.config, args.overrides)
+    if cfg.compilation_cache_dir:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cfg.compilation_cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     if cfg.jax_config:
         from eincm_tpu.utils.jax_helpers import update_jax_config
 

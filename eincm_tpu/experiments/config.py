@@ -193,6 +193,9 @@ class ExperimentConfig:
     seed: int = 0
     # raw jax.config flags applied at startup (reference: configs/jax_config/)
     jax_config: Dict[str, Any] = field(default_factory=dict)
+    # persistent XLA compilation cache (the reference ships this commented
+    # out, configs/jax_config/default.yaml:3-7); None disables
+    compilation_cache_dir: Optional[str] = None
 
     @property
     def loss_params(self) -> LossParams:
