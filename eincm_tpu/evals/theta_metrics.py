@@ -52,6 +52,12 @@ def evaluate_theta_array(
     loss_obj = compute_loss_objectives(
         theta_array, eval_xs, eval_ys, eval_ts, edges, edge_ts, sensor_size
     )
+    # Materialize the whole bundle with ONE host transfer: the string
+    # formatting below would otherwise trigger ~20 scalar readbacks, each a
+    # full round-trip on relayed backends (~30 ms apiece).
+    import jax
+
+    loss_obj = jax.device_get(loss_obj)
 
     mean_rel_contrast = loss_obj["rel_contrasts"].mean()
     mean_rel_corr = loss_obj["rel_correlations"].mean()
@@ -74,7 +80,9 @@ def evaluate_theta_array(
     acc_eval_str = ""
     if gt_flow is not None:
         pred_flow = per_pix_theta_to_flow(theta_array, eval_xs, eval_ys, eval_ts)
-        fe = sparse_flow_error(pred_flow, gt_flow, err_eval_event_mask)
+        fe = jax.device_get(
+            sparse_flow_error(pred_flow, gt_flow, err_eval_event_mask)
+        )
         evals.update({k: v for k, v in fe["errors"].items()})
         evals.update({k: v for k, v in fe["counts"].items()})
         evals["n_pixels"] = sensor_size[0] * sensor_size[1]
