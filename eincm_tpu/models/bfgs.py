@@ -508,9 +508,10 @@ def minimize_bounded_scalar(
     a, b, c, d_, fc, fd = jax.lax.fori_loop(0, maxiter, body, (a, b, c, d_, fc, fd))
     x_star = jnp.where(fc < fd, c, d_)
     f_star = jnp.minimum(fc, fd)
-    # include the (pre-evaluated) endpoints in the final comparison
-    x_star = jnp.where(
-        fa < f_star, a, jnp.where(fb < jnp.minimum(fa, f_star), b, x_star)
-    )
-    f_star = jnp.minimum(f_star, jnp.minimum(fa, fb))
-    return x_star, f_star
+    # include the (pre-evaluated) endpoints via a consistent argmin so the
+    # returned (x, f) always belong to the same candidate (interior wins
+    # ties, preserving the strict-< preference of the bracketing loop)
+    xs_cand = jnp.stack([x_star, a, b])
+    fs_cand = jnp.stack([f_star, fa, fb])
+    i_best = jnp.argmin(fs_cand)
+    return xs_cand[i_best], fs_cand[i_best]

@@ -50,6 +50,8 @@ def _gather_bwd(res, g):
     theta, xs, ys = res
     (h, w, c), dtype = theta.shape, theta.dtype
     e = xs.shape[0]
+    # accumulate in at least f32; keep f64 when the solve runs in x64
+    acc_dtype = jnp.result_type(dtype, jnp.float32)
 
     chunk = max(512, _BWD_CHUNK_BUDGET // (h + w * c))
     chunk = min(chunk, max(512, e))
@@ -57,18 +59,18 @@ def _gather_bwd(res, g):
     n_chunks = max(1, -(-e // chunk))
     pad = n_chunks * chunk - e
 
-    xi = jnp.round(xs.astype(jnp.float32))
-    yi = jnp.round(ys.astype(jnp.float32))
-    g = g.astype(jnp.float32)
+    xi = jnp.round(xs.astype(acc_dtype))
+    yi = jnp.round(ys.astype(acc_dtype))
+    g = g.astype(acc_dtype)
     if pad:
-        fill = jnp.full((pad,), -1.0, jnp.float32)  # matches no pixel
+        fill = jnp.full((pad,), -1.0, acc_dtype)  # matches no pixel
         xi = jnp.concatenate([xi, fill])
         yi = jnp.concatenate([yi, fill])
-        g = jnp.concatenate([g, jnp.zeros((pad, c), jnp.float32)])
+        g = jnp.concatenate([g, jnp.zeros((pad, c), acc_dtype)])
 
     def onehot(coord, n_axis):
-        idx = jax.lax.broadcasted_iota(jnp.float32, (coord.shape[0], n_axis), 1)
-        return (idx == coord[:, None]).astype(jnp.float32)
+        idx = jax.lax.broadcasted_iota(acc_dtype, (coord.shape[0], n_axis), 1)
+        return (idx == coord[:, None]).astype(acc_dtype)
 
     def step(acc, args):
         cxi, cyi, cg = args
@@ -79,12 +81,12 @@ def _gather_bwd(res, g):
             oy,
             rhs,
             dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=acc_dtype,
             precision=jax.lax.Precision.HIGHEST,
         )
         return acc, None
 
-    acc0 = jnp.zeros((h, w * c), jnp.float32)
+    acc0 = jnp.zeros((h, w * c), acc_dtype)
     if n_chunks == 1:
         acc, _ = step(acc0, (xi, yi, g))
     else:

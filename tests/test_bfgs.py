@@ -106,6 +106,21 @@ class TestBoundedScalar:
         x, fx = minimize_bounded_scalar(lambda w: w, (0.2, 0.9))
         assert np.isclose(float(x), 0.2, atol=1e-4)
 
+    def test_endpoint_pair_consistency(self):
+        # Regression: when fb < fa < f_interior the returned (x, f) must
+        # belong to the same candidate (the old nested-where could return
+        # x = a with f = fb). Bump in the middle, lowest value at b.
+        def f(w):
+            return -((2 * w - 1) ** 2) - 0.1 * w
+
+        x, fx = minimize_bounded_scalar(f, (0.0, 1.0), maxiter=0)
+        assert np.isclose(float(x), 1.0, atol=1e-6)
+        assert np.isclose(float(fx), float(f(jnp.asarray(1.0))), atol=1e-6)
+        # pair consistency at several iteration counts
+        for it in (0, 1, 3, 10):
+            x, fx = minimize_bounded_scalar(f, (0.0, 1.0), maxiter=it)
+            assert np.isclose(float(fx), float(f(x)), atol=1e-6)
+
     def test_matches_scipy_lbfgsb(self):
         def f(w):
             return jnp.sin(5 * w) + 0.5 * w**2
