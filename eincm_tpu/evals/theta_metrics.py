@@ -4,11 +4,19 @@ Port of src/evaluations/theta_eval.py:14-95 (`evaluate_theta_array`): loss
 recomputation, FWL, IWE variance, and — when ground truth is available — the
 sparse flow errors. Returns the same `evals` dict keys as the reference plus
 the formatted strings for log parity.
+
+TPU restructuring: the reference evaluates the bundle eagerly, op by op
+(dozens of dispatches per window, each a full round-trip on relayed
+backends). Here every device computation — objectives, loss, IWE variance and
+the flow-error reductions — runs as ONE jitted dispatch (`_eval_bundle`),
+and only the small scalar/per-ref bundle is transferred to the host. The big
+per-event arrays (warped coordinates) never leave the device.
 """
 
 from __future__ import annotations
 
 import time
+from functools import partial
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -32,6 +40,67 @@ def per_pix_theta_to_flow(
     return theta * mask[..., None].astype(theta.dtype)
 
 
+@partial(jax.jit, static_argnames=("sensor_size", "has_gt", "has_mask"))
+def _eval_bundle(
+    theta_array: jax.Array,
+    xs: jax.Array,
+    ys: jax.Array,
+    ts: jax.Array,
+    edges: jax.Array,
+    edge_ts: jax.Array,
+    gt_flow: jax.Array,
+    err_mask: jax.Array,
+    pvec: jax.Array,
+    sensor_size: Tuple[int, int],
+    has_gt: bool,
+    has_mask: bool,
+):
+    """One-dispatch evaluation: returns (small host bundle, device loss_obj).
+
+    `pvec` carries (alpha, beta, gamma, delta) as traced values so one
+    compilation serves every objective weighting.
+    """
+    objs = compute_loss_objectives(
+        theta_array, xs, ys, ts, edges, edge_ts, sensor_size
+    )
+    mean_rel_contrast = objs["rel_contrasts"].mean()
+    mean_rel_corr = objs["rel_correlations"].mean()
+    mean_rel_iwe_div = objs["rel_iwe_divergences"].mean()
+    tot_var = objs["theta_total_variation"]
+    loss = (
+        pvec[0] * (-mean_rel_contrast)
+        + pvec[1] * (-mean_rel_corr)
+        + pvec[2] * tot_var
+        + pvec[3] * mean_rel_iwe_div
+    )
+    # the reference re-splats the ref-0 warped events for iwe_var
+    # (src/evaluations/theta_eval.py:25-43); fused into the same dispatch here
+    iwe = events_to_pdf_frame(
+        objs["warped_xs"][0], objs["warped_ys"][0], sensor_size
+    )
+    small: Dict = {
+        "loss": loss,
+        "iwe_var": jnp.var(iwe),
+        "mean_rel_contrast": mean_rel_contrast,
+        "mean_rel_corr": mean_rel_corr,
+        "theta_tot_var": tot_var,
+        "theta_div": objs["theta_divergence"],
+        "fwl": objs["flow_warp_losses"][0],
+        "mean_rel_iwe_div": mean_rel_iwe_div,
+        "rel_iwe_divergences": objs["rel_iwe_divergences"],
+        "rel_contrasts": objs["rel_contrasts"],
+        "rel_correlations": objs["rel_correlations"],
+        "flow_warp_losses": objs["flow_warp_losses"],
+        "multi_ref_weights": objs["multi_ref_weights"],
+    }
+    if has_gt:
+        pred_flow = per_pix_theta_to_flow(theta_array, xs, ys, ts)
+        small["flow_errors"] = sparse_flow_error(
+            pred_flow, gt_flow, err_mask if has_mask else None
+        )
+    return small, objs
+
+
 def evaluate_theta_array(
     theta_array: jax.Array,
     eval_xs: jax.Array,
@@ -48,41 +117,31 @@ def evaluate_theta_array(
 
     Returns:
         (time_str, eval_str, evals, loss_objectives) like the reference.
+        `loss_objectives` values remain on device (the warped coordinate
+        arrays are large); everything in `evals` is host-resident.
     """
-    loss_obj = compute_loss_objectives(
-        theta_array, eval_xs, eval_ys, eval_ts, edges, edge_ts, sensor_size
+    has_gt = gt_flow is not None
+    has_mask = err_eval_event_mask is not None
+    dtype = theta_array.dtype
+    if gt_flow is None:
+        gt_flow = jnp.zeros((1, 1, 2), dtype)
+    if err_eval_event_mask is None:
+        err_eval_event_mask = jnp.zeros((1, 1), bool)
+    pvec = jnp.asarray(
+        [params.alpha, params.beta, params.gamma, params.delta], dtype
     )
-    # Materialize the whole bundle with ONE host transfer: the string
-    # formatting below would otherwise trigger ~20 scalar readbacks, each a
-    # full round-trip on relayed backends (~30 ms apiece).
-    import jax
-
-    loss_obj = jax.device_get(loss_obj)
-
-    mean_rel_contrast = loss_obj["rel_contrasts"].mean()
-    mean_rel_corr = loss_obj["rel_correlations"].mean()
-    mean_rel_iwe_div = loss_obj["rel_iwe_divergences"].mean()
-    tot_var = loss_obj["theta_total_variation"]
-    theta_div = loss_obj["theta_divergence"]
-    fwl = loss_obj["flow_warp_losses"][0]
-
-    iwe = events_to_pdf_frame(
-        loss_obj["warped_xs"][0], loss_obj["warped_ys"][0], sensor_size
+    small, loss_obj = _eval_bundle(
+        theta_array, eval_xs, eval_ys, eval_ts, edges, edge_ts,
+        gt_flow, err_eval_event_mask, pvec,
+        sensor_size, has_gt, has_mask,
     )
-    loss = (
-        params.alpha * (-mean_rel_contrast)
-        + params.beta * (-mean_rel_corr)
-        + params.gamma * tot_var
-        + params.delta * mean_rel_iwe_div
-    )
+    # ONE host transfer for the whole (small) bundle
+    small = jax.device_get(small)
 
     evals: Dict = {}
     acc_eval_str = ""
-    if gt_flow is not None:
-        pred_flow = per_pix_theta_to_flow(theta_array, eval_xs, eval_ys, eval_ts)
-        fe = jax.device_get(
-            sparse_flow_error(pred_flow, gt_flow, err_eval_event_mask)
-        )
+    if has_gt:
+        fe = small.pop("flow_errors")
         evals.update({k: v for k, v in fe["errors"].items()})
         evals.update({k: v for k, v in fe["counts"].items()})
         evals["n_pixels"] = sensor_size[0] * sensor_size[1]
@@ -96,34 +155,18 @@ def evaluate_theta_array(
             + f'n_event_mask:{int(c["n_pred"]):,}, n_ee: {int(c["n_ee"]):,}\n'
         )
 
-    iwe_var = jnp.var(iwe)
     time_str = f'[{time.strftime("%Y-%m-%d %H:%M:%S")}]'
     eval_str = (
-        f"total_loss(↓): {float(loss):8.6f}, iwe_var(↑): {float(iwe_var):8.6f}, "
-        f"mean_rel_contrast(↑): {float(mean_rel_contrast):8.6f}, "
-        f"mean_rel_corr(↑): {float(mean_rel_corr):8.6f}, "
-        f"theta_tot_var(↓): {float(tot_var):8.6f}, "
-        f"theta_div(↓): {float(theta_div):8.6f}, "
-        f"mean_rel_iwe_div(↓): {float(mean_rel_iwe_div):8.6f}, "
-        f"FWL(↑): {float(fwl):8.6f}"
+        f'total_loss(↓): {float(small["loss"]):8.6f}, '
+        f'iwe_var(↑): {float(small["iwe_var"]):8.6f}, '
+        f'mean_rel_contrast(↑): {float(small["mean_rel_contrast"]):8.6f}, '
+        f'mean_rel_corr(↑): {float(small["mean_rel_corr"]):8.6f}, '
+        f'theta_tot_var(↓): {float(small["theta_tot_var"]):8.6f}, '
+        f'theta_div(↓): {float(small["theta_div"]):8.6f}, '
+        f'mean_rel_iwe_div(↓): {float(small["mean_rel_iwe_div"]):8.6f}, '
+        f'FWL(↑): {float(small["fwl"]):8.6f}'
         f"{acc_eval_str}"
     )
 
-    evals.update(
-        {
-            "loss": loss,
-            "iwe_var": iwe_var,
-            "mean_rel_contrast": mean_rel_contrast,
-            "mean_rel_corr": mean_rel_corr,
-            "theta_tot_var": tot_var,
-            "theta_div": theta_div,
-            "fwl": fwl,
-            "mean_rel_iwe_div": mean_rel_iwe_div,
-            "rel_iwe_divergences": loss_obj["rel_iwe_divergences"],
-            "rel_contrasts": loss_obj["rel_contrasts"],
-            "rel_correlations": loss_obj["rel_correlations"],
-            "flow_warp_losses": loss_obj["flow_warp_losses"],
-            "multi_ref_weights": loss_obj["multi_ref_weights"],
-        }
-    )
+    evals.update(small)
     return time_str, eval_str, evals, loss_obj

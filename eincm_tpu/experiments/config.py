@@ -137,7 +137,9 @@ class SolverSettings:
     pyramid_downscale_method: str = "bilinear"
     scale_theta_to_sensor_size_method: str = "bilinear"
     max_ls_evals: int = 10
-    line_search: str = "wolfe"  # 'wolfe' (scipy parity) | 'armijo' (faster)
+    # 'armijo' (default; 1.6x faster, accuracy-validated vs wolfe — PARITY.md)
+    # | 'wolfe' (strong Wolfe, scipy-parity semantics)
+    line_search: str = "armijo"
 
     def growing_maxiters(self, miniter: int, maxiter: int) -> Tuple[int, ...]:
         """Per-level iteration budgets: more at coarse... actually more at the
