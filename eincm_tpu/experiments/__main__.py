@@ -28,6 +28,15 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     cfg = load_config(args.config, args.overrides)
+    if cfg.distributed.enable:
+        # must precede any backend touch (jax.distributed constraint)
+        from eincm_tpu.parallel.distributed import (
+            initialize_distributed,
+            process_info,
+        )
+
+        initialize_distributed(cfg.distributed)
+        log(process_info())
     if cfg.compilation_cache_dir:
         import jax
 

@@ -19,6 +19,7 @@ import yaml
 
 from eincm_tpu.models.loss import LossParams
 from eincm_tpu.models.pyramid import HandoverSettings, SolverConfig
+from eincm_tpu.parallel.distributed import DistributedConfig
 
 
 @dataclass
@@ -174,9 +175,14 @@ class PhaseSettings:
     checkpoint_every_percent: float = 25.0
     delete_checkpoints_at_end: bool = True
     run_from_checkpoint: Optional[str] = None
-    # solve all windows with the two-pass handover schedule, sharded over the
-    # available device mesh (SURVEY.md §2.3 / §7 prior-chain strategy)
+    # solve all windows sharded over the available device mesh
+    # (SURVEY.md §2.3 / §7 prior-chain strategy)
     parallel_windows: bool = False
+    # 'two_pass': all windows in parallel, priors from pass 1 (fastest);
+    # 'sequence_shard': contiguous chunks per device with the exact in-chunk
+    # handover chain and ppermute boundary prior exchange (closest to the
+    # reference's sequential schedule)
+    parallel_mode: str = "two_pass"
 
 
 @dataclass
@@ -186,6 +192,8 @@ class ExperimentConfig:
     solver: SolverSettings = field(default_factory=SolverSettings)
     handover: HandoverSettings = field(default_factory=HandoverSettings)
     phases: PhaseSettings = field(default_factory=PhaseSettings)
+    # multi-host runtime (jax.distributed); off by default
+    distributed: DistributedConfig = field(default_factory=DistributedConfig)
     alpha: float = 60.0
     beta: float = 60.0
     gamma: float = 0.0
@@ -252,6 +260,7 @@ class ExperimentConfig:
             (cls, "solver"): SolverSettings,
             (cls, "handover"): HandoverSettings,
             (cls, "phases"): PhaseSettings,
+            (cls, "distributed"): DistributedConfig,
         }
         return build(cls, d)
 

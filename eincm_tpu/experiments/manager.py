@@ -153,51 +153,109 @@ class EINCMExperiment:
                 p.unlink()
         return self.opt_results
 
-    def run_solver_parallel(self):
-        """Whole-sequence solve with the two-pass handover schedule, sharded
-        over all available devices (one window per device shard).
+    def _stream_sharded_batch(self, dl, n, mesh):
+        """Stage windows through the prefetcher and assemble the sharded
+        batch *incrementally on the devices*: each window is device_put onto
+        its target shard as soon as staging finishes, so peak host memory is
+        O(prefetch depth), not O(sequence) (the round-1 version materialized
+        the whole staged sequence in RAM first).
 
-        Pass 1 solves every window prior-free in parallel; pass 2 re-solves
-        with each window's prior taken from its predecessor's pass-1 result
-        (SURVEY.md §7 "sequential prior chain" strategy).
+        Returns:
+            (batch with global NamedSharding, batch_n).
+        """
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from eincm_tpu.data.prefetch import StagingPrefetcher
+
+        n_dev = mesh.devices.size
+        devices = mesh.devices.reshape(-1)
+        # pad the window count to a multiple of the device count by
+        # repeating the last window (results discarded after the solve)
+        batch_n = -(-n // n_dev) * n_dev
+        per_dev = batch_n // n_dev
+
+        # NaN-pad every window to a common fixed event count (padded events
+        # contribute nothing to any splat/mask) so windows stack and shard
+        pad_to = self.cfg.dataset.des_n_events
+
+        def stage_padded(ds):
+            actual = len(ds["events"]["x"])
+            return stage_datasample(
+                ds,
+                edge_fn=self.edge_fn,
+                preprocess=self.cfg.edge.enable_image_preprocessing,
+                pad_to=max(pad_to or 0, actual),
+            )
+
+        dev_windows = [[] for _ in range(n_dev)]
+        prefetcher = StagingPrefetcher(dl, range(n), stage_padded, depth=2)
+        last = None
+        for idx, staged in prefetcher:
+            j = idx // per_dev
+            last = jax.device_put(staged.window, devices[j])
+            dev_windows[j].append(last)
+        for i in range(n, batch_n):
+            j = i // per_dev
+            dev_windows[j].append(jax.device_put(last, devices[j]))
+
+        # stack each device's windows in place, then assemble global arrays
+        stacked = [
+            jax.tree_util.tree_map(lambda *a: jnp.stack(a), *bufs)
+            for bufs in dev_windows
+        ]
+        shard = NamedSharding(mesh, P("windows"))
+
+        def make_global(*leaves):
+            global_shape = (batch_n, *leaves[0].shape[1:])
+            return jax.make_array_from_single_device_arrays(
+                global_shape, shard, list(leaves)
+            )
+
+        batch = jax.tree_util.tree_map(make_global, *stacked)
+        return batch, batch_n
+
+    def run_solver_parallel(self):
+        """Whole-sequence solve sharded over all available devices.
+
+        Two schedules for the sequential handover prior chain
+        (src/eincm/solver.py:254-255; SURVEY.md §7 "hard parts"):
+
+        - 'two_pass' (default): pass 1 solves every window prior-free in
+          parallel; pass 2 re-solves with each window's prior taken from its
+          predecessor's pass-1 result.
+        - 'sequence_shard': contiguous window chunks per device with the
+          exact in-chunk handover chain; chunk-boundary priors travel over
+          the mesh via ppermute (parallel.batch.sequence_shard_solve).
         """
         import jax
 
         from eincm_tpu.parallel.batch import (
             make_window_mesh,
+            sequence_shard_solve,
             two_pass_sequence_solve,
         )
 
         dl = self._prepare_dataloader()
         n = len(dl)
-        # NaN-pad every window to a common fixed event count (padded events
-        # contribute nothing to any splat/mask) so windows stack and shard
-        raw = [dl[i] for i in range(n)]
-        pad_to = max(len(r["events"]["x"]) for r in raw)
-        staged = [
-            stage_datasample(
-                r,
-                edge_fn=self.edge_fn,
-                preprocess=self.cfg.edge.enable_image_preprocessing,
-                pad_to=pad_to,
-            )
-            for r in raw
-        ]
-
-        n_dev = len(jax.devices())
-        # pad the batch to a multiple of the device count by repeating the
-        # last window (discarded after the solve)
-        batch_n = -(-n // n_dev) * n_dev
-        pads = batch_n - n
-        samples = [s.window for s in staged] + [staged[-1].window] * pads
-        batch = jax.tree_util.tree_map(lambda *a: jnp.stack(a), *samples)
-
         mesh = make_window_mesh()
-        pass2, final = two_pass_sequence_solve(
-            self.cfg.solver_config(), batch, mesh
-        )
+        n_dev = mesh.devices.size
+        batch, batch_n = self._stream_sharded_batch(dl, n, mesh)
+
+        mode = self.cfg.phases.parallel_mode
+        if mode == "sequence_shard":
+            res, final = sequence_shard_solve(
+                self.cfg.solver_config(), batch, mesh
+            )
+        elif mode == "two_pass":
+            res, final = two_pass_sequence_solve(
+                self.cfg.solver_config(), batch, mesh
+            )
+        else:
+            raise ValueError(f"unknown parallel_mode {mode!r}")
+
         for i in range(n):
-            rec = jax.tree_util.tree_map(lambda x: x[i], pass2)
+            rec = jax.tree_util.tree_map(lambda x: x[i], res)
             rec = rec._replace(
                 final_theta_pyr=tuple(lvl[i] for lvl in final)
             )
@@ -208,7 +266,7 @@ class EINCMExperiment:
             self.out_dir / "opt_results.npz", self.opt_results, self.cfg.to_dict()
         )
         ok(
-            f"opt_results.npz saved ({n} windows, two-pass over "
+            f"opt_results.npz saved ({n} windows, {mode} over "
             f"{n_dev} device(s))"
         )
         return self.opt_results

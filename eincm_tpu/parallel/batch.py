@@ -119,6 +119,115 @@ def solve_window_batch_sharded(
     return fn(batch, prior_pyrs)
 
 
+def sequence_shard_solve(
+    cfg: SolverConfig,
+    batch: WindowSample,
+    mesh: Mesh,
+) -> Tuple[SolveResult, Tuple[jax.Array, ...]]:
+    """Sequence-sharded solve with ppermute boundary prior exchange.
+
+    The alternative to `two_pass_sequence_solve` pre-identified in SURVEY.md
+    §7: each device takes a *contiguous chunk* of the window sequence and
+    solves it sequentially with the true in-chunk handover chain
+    (src/eincm/solver.py:254-255 semantics); only the chunk boundaries are
+    approximate. Schedule:
+
+      pass 1: every chunk solves in parallel; chunk-first windows use
+              first-sample semantics (no handover).
+      exchange: each chunk's final theta pyramid travels to the next device
+              over the mesh via `lax.ppermute` (one ICI hop).
+      pass 2: chunks re-solve with the received boundary prior seeding their
+              first window's handover; the in-chunk chain is re-run exactly.
+              Device 0 has no predecessor — its pass-1 chunk (whose first
+              window is the true global first sample) is kept.
+
+    Cost is 2x one pass (same as `two_pass_sequence_solve`), but the
+    handover chain is exact *within* chunks instead of approximated
+    everywhere; the only deviation from the sequential reference schedule is
+    that a chunk's boundary prior is its neighbor's pass-1 (not pass-2)
+    final. Windows must be ordered; batch size must divide the mesh.
+
+    Returns:
+        (SolveResult with leading window axis, final theta pyramids).
+    """
+    n_dev = mesh.devices.size
+    b = batch.xs.shape[0]
+    assert b % n_dev == 0, f"batch {b} must divide over {n_dev} devices"
+    chunk = b // n_dev
+
+    shard = NamedSharding(mesh, P("windows"))
+    batch = jax.tree_util.tree_map(lambda x: jax.device_put(x, shard), batch)
+    zero_prior = cfg.zero_pyramid(batch.xs.dtype)
+
+    solve_first = partial(solve_window, cfg, is_first_sample=True)
+    solve_rest = partial(solve_window, cfg, is_first_sample=False)
+
+    def chunk_chain(local_batch, boundary_prior, first_is_global_first: bool):
+        """Solve this device's chunk sequentially with the handover chain."""
+        head = jax.tree_util.tree_map(lambda x: x[0], local_batch)
+        if first_is_global_first:
+            res0 = solve_first(head, zero_prior)
+        else:
+            res0 = solve_rest(head, boundary_prior)
+
+        def step(prior, sample):
+            res = solve_rest(sample, prior)
+            return res.final_theta_pyr, res
+
+        tail = jax.tree_util.tree_map(lambda x: x[1:], local_batch)
+        last_prior, res_tail = jax.lax.scan(
+            step, res0.final_theta_pyr, tail
+        )
+        res = jax.tree_util.tree_map(
+            lambda a, b_: jnp.concatenate([a[None], b_], axis=0),
+            res0,
+            res_tail,
+        )
+        return res, last_prior
+
+    perm = [(i, i + 1) for i in range(n_dev - 1)]
+
+    def per_device(local_batch):
+        # pass 1: chunk-first windows run first-sample semantics
+        res1, chunk_final = chunk_chain(
+            local_batch, zero_prior, first_is_global_first=True
+        )
+        # boundary exchange: chunk i's final -> device i+1 (device 0
+        # receives zeros; its pass-2 result is discarded below)
+        boundary = jax.tree_util.tree_map(
+            lambda x: jax.lax.ppermute(x, axis_name="windows", perm=perm),
+            chunk_final,
+        )
+        # pass 2: re-run the chunk chain seeded by the received prior
+        res2, _ = chunk_chain(
+            local_batch, boundary, first_is_global_first=False
+        )
+        return res1, res2
+
+    specs = P("windows")
+    fn = jax.jit(
+        jax.shard_map(
+            per_device,
+            mesh=mesh,
+            in_specs=(specs,),
+            out_specs=(specs, specs),
+            check_vma=False,
+        )
+    )
+    res1, res2 = fn(batch)
+
+    # device 0 (global windows [0, chunk)) keeps pass 1; the rest pass 2
+    idx = jnp.arange(b)
+    keep1 = idx < chunk
+
+    def pick(a, b_):
+        m = keep1.reshape((b,) + (1,) * (a.ndim - 1))
+        return jnp.where(m, a, b_)
+
+    res = jax.tree_util.tree_map(pick, res1, res2)
+    return res, res.final_theta_pyr
+
+
 def two_pass_sequence_solve(
     cfg: SolverConfig,
     batch: WindowSample,

@@ -235,3 +235,25 @@ def test_parallel_windows_mode(tmp_path):
         float(np.asarray(r["evals"]["AEE"])) for r in exp.eval_results.values()
     ]
     assert np.mean(aees) < 1.6, aees
+
+
+def test_parallel_windows_sequence_shard(tmp_path):
+    """sequence_shard mode through the manager: streamed staging assembles a
+    properly sharded batch (windows not divisible by the 8-device mesh) and
+    the solve recovers the synthetic flow."""
+    cfg = tiny_cfg(tmp_path)
+    cfg.dataset.n_windows = 6  # pads to 8 over the virtual mesh
+    cfg.phases.parallel_windows = True
+    cfg.phases.parallel_mode = "sequence_shard"
+    cfg.phases.eval = True
+    exp = EINCMExperiment(cfg)
+    exp.run_solver()
+    assert len(exp.opt_results) == 6
+    from eincm_tpu.experiments.outputs import validate_opt_results
+
+    validate_opt_results(exp.opt_results, cfg.solver.n_pyr_lvls)
+    exp.run_eval()
+    aees = [
+        float(np.asarray(r["evals"]["AEE"])) for r in exp.eval_results.values()
+    ]
+    assert np.mean(aees) < 1.6, aees

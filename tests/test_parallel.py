@@ -14,6 +14,7 @@ from eincm_tpu.models.pyramid import (
 )
 from eincm_tpu.parallel.batch import (
     make_window_mesh,
+    sequence_shard_solve,
     solve_window_batch,
     solve_window_batch_sharded,
     two_pass_sequence_solve,
@@ -87,6 +88,78 @@ def test_two_pass_sequence(rng):
     pass2, final = two_pass_sequence_solve(cfg, batch, mesh)
     assert final[0].shape[0] == 8
     assert np.all(np.isfinite(np.asarray(final[0])))
+
+
+def _sequential_chain(cfg, batch, b):
+    """Reference schedule: strict sequential solve with handover chain."""
+    prior = [z for z in cfg.zero_pyramid()]
+    results = []
+    for i in range(b):
+        w = jax.tree_util.tree_map(lambda x: x[i], batch)
+        res = solve_window(cfg, w, prior, is_first_sample=(i == 0))
+        prior = res.final_theta_pyr
+        results.append(res)
+    return results
+
+
+def test_sequence_shard_prior_exchange(rng):
+    """sequence_shard_solve == sequential handover chain within tolerance.
+
+    Chunks: 2 windows per device over 4 devices. Device 0's chunk follows
+    the exact sequential schedule (must match tightly); later chunks see
+    their boundary prior via ppermute from the neighbor's pass-1 chunk end
+    (approximate only through the boundary)."""
+    cfg = tiny_cfg()
+    b = 8
+    batch = tiny_batch(rng, b)
+    mesh = make_window_mesh(4)
+    res, final = sequence_shard_solve(cfg, batch, mesh)
+    seq = _sequential_chain(cfg, batch, b)
+
+    # chunk 0 (windows 0-1) runs the identical chain -> tight match
+    for i in (0, 1):
+        np.testing.assert_allclose(
+            np.asarray(final[0][i]),
+            np.asarray(seq[i].final_theta_pyr[0]),
+            rtol=1e-2, atol=5e-3,
+        )
+    # all windows finite and close to the sequential schedule: the only
+    # approximation is the chunk-boundary prior (pass-1 instead of pass-2
+    # neighbor final), which perturbs but must not derail the solve
+    seq0 = np.stack([np.asarray(s.final_theta_pyr[0]) for s in seq])
+    par0 = np.asarray(final[0])
+    assert np.all(np.isfinite(par0))
+    scale = np.abs(seq0).max() + 1e-6
+    assert np.max(np.abs(par0 - seq0)) / scale < 0.35, (
+        np.max(np.abs(par0 - seq0)) / scale
+    )
+    # handover weights recorded for every window
+    assert res.final_handover_weights[0].shape[0] == b
+
+
+def test_distributed_config_plumbing():
+    from eincm_tpu.experiments.config import ExperimentConfig
+    from eincm_tpu.parallel.distributed import (
+        DistributedConfig,
+        initialize_distributed,
+    )
+
+    # disabled -> no-op, never touches the coordinator machinery
+    assert initialize_distributed(DistributedConfig(enable=False)) is False
+
+    cfg = ExperimentConfig.from_dict(
+        {
+            "distributed": {
+                "enable": False,
+                "coordinator_address": "localhost:1234",
+                "num_processes": 2,
+                "process_id": 0,
+            }
+        }
+    )
+    assert cfg.distributed.coordinator_address == "localhost:1234"
+    d = cfg.to_dict()
+    assert d["distributed"]["num_processes"] == 2
 
 
 def test_graft_entry_dryrun():
