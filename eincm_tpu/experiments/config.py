@@ -141,6 +141,10 @@ class SolverSettings:
     # 'armijo' (default; 1.6x faster, accuracy-validated vs wolfe — PARITY.md)
     # | 'wolfe' (strong Wolfe, scipy-parity semantics)
     line_search: str = "armijo"
+    # record per-iteration (theta, loss) trajectories on device — the
+    # equivalent of the reference's collecting callbacks
+    # (src/eincm/callbacks.py:100-364); required by phases.eval_intermediate
+    collect_intermediate: bool = False
 
     def growing_maxiters(self, miniter: int, maxiter: int) -> Tuple[int, ...]:
         """Per-level iteration budgets: more at coarse... actually more at the
@@ -183,6 +187,11 @@ class PhaseSettings:
     # handover chain and ppermute boundary prior exchange (closest to the
     # reference's sequential schedule)
     parallel_mode: str = "two_pass"
+    # evaluate every recorded level-0 BFGS iterate against ground truth
+    # during EVAL — the post-hoc equivalent of the reference's
+    # eval-during-solve callback (src/eincm/callbacks.py:140-149); requires
+    # solver.collect_intermediate
+    eval_intermediate: bool = False
 
 
 @dataclass
@@ -232,6 +241,8 @@ class ExperimentConfig:
             handover=self.handover,
             max_ls_evals=s.max_ls_evals,
             line_search=s.line_search,
+            collect_intermediate=s.collect_intermediate
+            or self.phases.eval_intermediate,
         )
 
     # ------------------------------------------------------------- serialize

@@ -332,6 +332,10 @@ class EINCMExperiment:
                 "eval_ts": np.asarray(staged.eval_ts),
                 "eval_ts_units": staged.eval_ts_units,
             }
+            if self.cfg.phases.eval_intermediate:
+                inter = self._eval_intermediate(key, staged, gt, mask)
+                if inter is not None:
+                    self.eval_results[key]["intermediate"] = inter
             log(f"{time_str} {key}: {eval_str.strip()}")
 
         save_eval_results(
@@ -340,6 +344,50 @@ class EINCMExperiment:
         scores = self.extract_scores()
         self.write_scores(scores)
         return self.eval_results
+
+    def _eval_intermediate(self, key, staged, gt, mask):
+        """Evaluate every recorded level-0 BFGS iterate of one window.
+
+        Post-hoc equivalent of the reference's eval-during-solve callback
+        (src/eincm/callbacks.py:140-149): the solver records the full theta
+        trajectory on device (models/bfgs.py BFGSHistory); here each iterate
+        is upscaled and run through the jitted evaluation bundle.
+        """
+        rec = self.opt_results[key]["solver_intermediate_results"]["theta_opt"]
+        thetas = rec.get("thetas", {}).get("pyr_lvl_0")
+        if thetas is None:
+            warn(
+                "phases.eval_intermediate needs solver.collect_intermediate; "
+                "no recorded iterates found"
+            )
+            return None
+        shape = (*self.solver_cfg.level_shape(0), 2)
+        sensor = tuple(self.cfg.dataset.sensor_size)
+        ev = staged.eval_events
+        per_iter: Dict[str, list] = {}
+        for it in range(thetas.shape[0]):
+            theta_full = scale_theta_to_sensor_size(
+                jnp.asarray(np.asarray(thetas[it]).reshape(shape)),
+                sensor,
+                self.cfg.solver.scale_theta_to_sensor_size_method,
+            )
+            _, _, evals_i, _ = evaluate_theta_array(
+                theta_full,
+                jnp.asarray(ev["x"], jnp.float32),
+                jnp.asarray(ev["y"], jnp.float32),
+                jnp.asarray(ev["t"], jnp.float32),
+                staged.window.edges,
+                staged.window.edge_ts,
+                None if gt is None else jnp.asarray(gt, jnp.float32),
+                self.cfg.loss_params,
+                sensor,
+                err_eval_event_mask=mask,
+            )
+            for k, v in evals_i.items():
+                arr = np.asarray(v)
+                if arr.ndim == 0:
+                    per_iter.setdefault(k, []).append(float(arr))
+        return {k: np.asarray(v) for k, v in per_iter.items()}
 
     # ---------------------------------------------------------------- scores
 

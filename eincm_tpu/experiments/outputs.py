@@ -93,7 +93,31 @@ def solve_result_to_record(res: SolveResult) -> Dict:
                 ),
             },
             "handover_opt": {
-                "n_iters": {k: np.asarray(0) for k in ho_states},
+                "n_iters": {
+                    f"pyr_lvl_{i}": np.asarray(
+                        int(h.n) if h is not None else 0
+                    )
+                    for i, h in enumerate(
+                        res.handover_histories
+                        or [None] * len(res.final_handover_weights)
+                    )
+                },
+                **(
+                    {
+                        "weights": {
+                            f"pyr_lvl_{i}": np.asarray(h.xs)[: int(h.n)]
+                            for i, h in enumerate(res.handover_histories)
+                            if h is not None
+                        },
+                        "losses": {
+                            f"pyr_lvl_{i}": np.asarray(h.fs)[: int(h.n)]
+                            for i, h in enumerate(res.handover_histories)
+                            if h is not None
+                        },
+                    }
+                    if any(h is not None for h in res.handover_histories)
+                    else {}
+                ),
             },
         },
     }

@@ -459,7 +459,8 @@ def minimize_bounded_scalar(
     fun: Callable[[jax.Array], jax.Array],
     bounds: Tuple[float, float],
     maxiter: int = 30,
-) -> Tuple[jax.Array, jax.Array]:
+    record_history: bool = False,
+):
     """Bounded scalar minimization via golden-section search, jittable.
 
     Replaces the reference's 1-D L-BFGS-B handover-weight solve
@@ -469,7 +470,11 @@ def minimize_bounded_scalar(
     call in the loop body).
 
     Returns:
-        (x_star, f_star).
+        (x_star, f_star), or ((x_star, f_star), BFGSHistory) with
+        `record_history`: the probe trajectory (4 init probes incl. the
+        bounds, then one probe per iteration) — the on-device equivalent of
+        the reference's handover solver callback collection
+        (src/eincm/callbacks.py:223-364).
     """
     lo, hi = bounds
     invphi = 0.6180339887498949
@@ -479,8 +484,15 @@ def minimize_bounded_scalar(
     d_ = a + (b - a) * invphi
     fa, fb, fc, fd = jax.vmap(fun)(jnp.stack([a, b, c, d_]))
 
-    def body(_, carry):
-        a, b, c, d_, fc, fd = carry
+    cap = 4 + maxiter if record_history else 0
+    hist_xs = jnp.zeros((cap,), a.dtype)
+    hist_fs = jnp.zeros((cap,), fa.dtype)
+    if record_history:
+        hist_xs = hist_xs.at[:4].set(jnp.stack([a, b, c, d_]))
+        hist_fs = hist_fs.at[:4].set(jnp.stack([fa, fb, fc, fd]))
+
+    def body(i, carry):
+        a, b, c, d_, fc, fd, hx, hf = carry
 
         def go_left(carry):
             # keep [a, d]; old c becomes the new d; probe the new c
@@ -497,15 +509,20 @@ def minimize_bounded_scalar(
             return a2, b, d_, d2, fd, d2
 
         a2, b2, c2, d2, keep, probe = jax.lax.cond(
-            fc < fd, go_left, go_right, carry
+            fc < fd, go_left, go_right, (a, b, c, d_, fc, fd)
         )
         f_probe = fun(probe)  # the ONE loop-body objective call site
         left = fc < fd
         fc2 = jnp.where(left, f_probe, keep)
         fd2 = jnp.where(left, keep, f_probe)
-        return a2, b2, c2, d2, fc2, fd2
+        if record_history:
+            hx = hx.at[4 + i].set(probe)
+            hf = hf.at[4 + i].set(f_probe)
+        return a2, b2, c2, d2, fc2, fd2, hx, hf
 
-    a, b, c, d_, fc, fd = jax.lax.fori_loop(0, maxiter, body, (a, b, c, d_, fc, fd))
+    a, b, c, d_, fc, fd, hist_xs, hist_fs = jax.lax.fori_loop(
+        0, maxiter, body, (a, b, c, d_, fc, fd, hist_xs, hist_fs)
+    )
     x_star = jnp.where(fc < fd, c, d_)
     f_star = jnp.minimum(fc, fd)
     # include the (pre-evaluated) endpoints via a consistent argmin so the
@@ -514,4 +531,9 @@ def minimize_bounded_scalar(
     xs_cand = jnp.stack([x_star, a, b])
     fs_cand = jnp.stack([f_star, fa, fb])
     i_best = jnp.argmin(fs_cand)
+    if record_history:
+        hist = BFGSHistory(
+            xs=hist_xs, fs=hist_fs, n=jnp.int32(4 + maxiter)
+        )
+        return (xs_cand[i_best], fs_cand[i_best]), hist
     return xs_cand[i_best], fs_cand[i_best]

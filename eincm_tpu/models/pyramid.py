@@ -157,6 +157,9 @@ class SolveResult(NamedTuple):
     theta_opt_states: Tuple[BFGSResult, ...]
     final_handover_weights: Tuple[jax.Array, ...]
     theta_histories: Tuple[BFGSHistory, ...] = ()  # per level, when collected
+    # per level, when collected AND the weight was solved (else None): the
+    # golden-section probe trajectory of the handover solve
+    handover_histories: Tuple = ()
 
 
 def _solve_theta_level(
@@ -254,10 +257,18 @@ def _solve_handover_weight(
             wstat,
         )
 
-    w_star, _ = minimize_bounded_scalar(fun, ho.handover_limits, maxiter=maxiter)
+    out = minimize_bounded_scalar(
+        fun, ho.handover_limits, maxiter=maxiter,
+        record_history=cfg.collect_intermediate,
+    )
+    if cfg.collect_intermediate:
+        (w_star, _), hist = out
+    else:
+        w_star, _ = out
+        hist = None
     if ho.clip_solved_handover:
         w_star = jnp.clip(w_star, *ho.clip_solved_handover_limits)
-    return w_star
+    return w_star, hist
 
 
 def stage_prior_pyramid(
@@ -304,6 +315,7 @@ def solve_window(
     opt_states: list = [None] * n
     weights: list = [None] * n
     histories: list = [None] * n
+    ho_histories: list = [None] * n
 
     pre_opt[n - 1] = prior[n - 1]
 
@@ -328,7 +340,7 @@ def solve_window(
                 else:
                     prior_for_solve = prior[lvl]
                     theta_for_solve = opt[lvl]
-                w = _solve_handover_weight(
+                w, ho_histories[lvl] = _solve_handover_weight(
                     cfg, lvl, prior_for_solve, theta_for_solve, sample, wstat
                 )
             else:
@@ -352,6 +364,9 @@ def solve_window(
         final_handover_weights=tuple(weights),
         theta_histories=(
             tuple(histories) if cfg.collect_intermediate else ()
+        ),
+        handover_histories=(
+            tuple(ho_histories) if cfg.collect_intermediate else ()
         ),
     )
 

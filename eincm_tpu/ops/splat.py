@@ -69,6 +69,21 @@ def set_splat_impl(name: str) -> None:
 def get_splat_impl() -> str:
     return _SPLAT_IMPL
 
+
+# Opt-in reproduction of the reference's negative-index wrap (a JAX
+# negative-indexing artifact where splat mass at coordinate -k teleports to
+# the opposite sensor edge; src/utils/event_utils.py:59). For bit-level
+# parity studies only — physically the drop behavior is correct.
+_SPLAT_WRAP_COMPAT = False
+
+
+def set_splat_wrap_compat(enable: bool) -> None:
+    """Toggle the wrap-compat splat. Consulted at TRACE time: set it before
+    the first jitted call of a given shape (already-compiled programs are
+    not retraced)."""
+    global _SPLAT_WRAP_COMPAT
+    _SPLAT_WRAP_COMPAT = bool(enable)
+
 # Budget for the banded one-hot matrices of one chunk, in floats. The chunk
 # size (the MXU contraction dimension) is derived from it so small windows run
 # as a single matmul (minimal op count — dispatch overhead dominates small
@@ -89,13 +104,20 @@ def _gauss1d(q: jax.Array) -> jax.Array:
     return jnp.exp(-0.5 * q * q) * jnp.asarray(_INV_SQRT_2PI, q.dtype)
 
 
-def _axis_weights(coords: jax.Array, n: int, half_window: int) -> jax.Array:
+def _axis_weights(
+    coords: jax.Array, n: int, half_window: int, wrap: bool = False
+) -> jax.Array:
     """Banded per-axis splat weights.
 
     Args:
         coords: (E,) float warped coordinates along this axis.
         n: axis length (H or W).
         half_window: window radius (1 for the reference's 3x3 window).
+        wrap: reproduce the reference's negative-index wrapping — splat
+            texels at coordinate s in [-n, -1] land at n + s with the
+            *unwrapped* Gaussian quantile (src/utils/event_utils.py:59:
+            `.at[rs, cs].add(pdf, mode='drop')` wraps negatives before the
+            drop). Off by default; parity-study compatibility only.
 
     Returns:
         (E, n) matrix; row e holds g(i - coords[e]) for integer i within
@@ -108,7 +130,13 @@ def _axis_weights(coords: jax.Array, n: int, half_window: int) -> jax.Array:
     # |i - round(c)| <= half_window, computed in float: both are exact ints.
     in_band = jnp.abs(idx - rounded[:, None]) <= (half_window + 0.5)
     q = idx - coords[:, None]
-    return jnp.where(in_band, _gauss1d(q), jnp.zeros((), dtype))
+    w = jnp.where(in_band, _gauss1d(q), jnp.zeros((), dtype))
+    if wrap:
+        # second band at i = n + s for texel coordinates s in [-n, -1]
+        in_wrap = jnp.abs((idx - n) - rounded[:, None]) <= (half_window + 0.5)
+        qw = (idx - n) - coords[:, None]
+        w = w + jnp.where(in_wrap, _gauss1d(qw), jnp.zeros((), dtype))
+    return w
 
 
 def events_to_pdf_frame(
@@ -136,11 +164,12 @@ def events_to_pdf_frame(
     """
     H, W = sensor_size
     hw = window_size // 2
-    if _SPLAT_IMPL == "pallas" and jax.default_backend() == "tpu":
+    wrap = _SPLAT_WRAP_COMPAT
+    if not wrap and _SPLAT_IMPL == "pallas" and jax.default_backend() == "tpu":
         from eincm_tpu.ops.splat_pallas import events_to_pdf_frame_pallas
 
         return events_to_pdf_frame_pallas(xs, ys, sensor_size, window_size)
-    if _SPLAT_IMPL == "banded":
+    if not wrap and _SPLAT_IMPL == "banded":
         return events_to_pdf_frame_banded(xs, ys, sensor_size, window_size)
     if chunk_size is None:
         chunk_size = _auto_chunk(xs.shape[0], H, W)
@@ -159,8 +188,8 @@ def events_to_pdf_frame(
 
     if n_chunks == 1:
         # single matmul, no scan machinery
-        u = _axis_weights(ys, H, hw)
-        v = _axis_weights(xs, W, hw)
+        u = _axis_weights(ys, H, hw, wrap)
+        v = _axis_weights(xs, W, hw, wrap)
         return jax.lax.dot_general(
             u,
             v,
@@ -174,8 +203,8 @@ def events_to_pdf_frame(
 
     def step(frame, chunk):
         cx, cy = chunk
-        u = _axis_weights(cy, H, hw)  # (E, H)
-        v = _axis_weights(cx, W, hw)  # (E, W)
+        u = _axis_weights(cy, H, hw, wrap)  # (E, H)
+        v = _axis_weights(cx, W, hw, wrap)  # (E, W)
         frame = frame + jax.lax.dot_general(
             u,
             v,

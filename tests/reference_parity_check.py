@@ -213,6 +213,23 @@ def main():
     ol = our_loss(wbig, params, 0)
     results["wrap_vs_drop"] = rel_err(ol, rl)
 
+    # --- wrap-compat splat vs the reference kernel, bit behavior ---------
+    from eincm_tpu.ops import splat as tpu_splat
+
+    rng = np.random.default_rng(3)
+    H, W = 40, 56
+    # coordinates spilling below 0 on both axes so wrapping fires; none
+    # below -1 so the single-wrap semantics match exactly
+    cx = jnp.asarray(rng.uniform(-0.9, W - 1 + 0.49, 4096))
+    cy = jnp.asarray(rng.uniform(-0.9, H - 1 + 0.49, 4096))
+    ref_frame = ref_event_utils.events_to_pdf_frame(cx, cy, (H, W))
+    tpu_splat.set_splat_wrap_compat(True)
+    try:
+        our_frame = tpu_splat.events_to_pdf_frame(cx, cy, (H, W))
+    finally:
+        tpu_splat.set_splat_wrap_compat(False)
+    results["splat_wrap_compat"] = rel_err(our_frame, ref_frame)
+
     print(json.dumps(results))
 
 

@@ -237,6 +237,38 @@ def test_parallel_windows_mode(tmp_path):
     assert np.mean(aees) < 1.6, aees
 
 
+def test_eval_intermediate_hook(tmp_path):
+    """phases.eval_intermediate: every recorded level-0 iterate is evaluated
+    against GT (reference callbacks.py:140-149 capability, post-hoc), and the
+    handover solve's probe trajectory is recorded."""
+    import dataclasses
+
+    cfg = tiny_cfg(tmp_path)
+    cfg.phases.eval_intermediate = True
+    cfg.handover = dataclasses.replace(
+        cfg.handover, solve_handover_for_levels=(0,)
+    )
+    exp = EINCMExperiment(cfg)
+    exp.run_solver()
+
+    # handover probe history recorded for solved levels of non-first windows
+    rec = exp.opt_results["datasample_idx_1"]["solver_intermediate_results"]
+    ho = rec["handover_opt"]
+    assert int(ho["n_iters"]["pyr_lvl_0"]) > 0
+    assert len(ho["weights"]["pyr_lvl_0"]) == int(ho["n_iters"]["pyr_lvl_0"])
+    assert np.all(np.isfinite(ho["losses"]["pyr_lvl_0"]))
+
+    exp.run_eval()
+    inter = exp.eval_results["datasample_idx_0"].get("intermediate")
+    assert inter is not None
+    n_rec = len(rec["theta_opt"]["losses"]["pyr_lvl_0"])
+    assert n_rec >= 1
+    assert len(exp.eval_results["datasample_idx_0"]["intermediate"]["loss"]) >= 1
+    assert "AEE" in inter and np.all(np.isfinite(inter["AEE"]))
+    # the trajectory should not get worse from first to best iterate
+    assert inter["loss"].min() <= inter["loss"][0] + 1e-6
+
+
 def test_parallel_windows_sequence_shard(tmp_path):
     """sequence_shard mode through the manager: streamed staging assembles a
     properly sharded batch (windows not divisible by the 8-device mesh) and

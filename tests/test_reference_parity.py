@@ -64,6 +64,12 @@ def test_f32_delta_bounded(parity):
     assert parity["grad_f32"] <= 1e-4
 
 
+def test_splat_wrap_compat_mode(parity):
+    # opt-in wrap-compat splat reproduces the reference kernel's
+    # negative-index wrapping bit behavior (src/utils/event_utils.py:59)
+    assert parity["splat_wrap_compat"] <= 1e-12
+
+
 def test_wrap_vs_drop_reported(parity):
     # drop-vs-wrap is a deliberate, documented deviation that only engages
     # when warped splat windows leave the sensor (ops/splat.py); sanity-bound

@@ -176,3 +176,33 @@ class TestBandedSplat:
         # first event present, second dropped
         assert float(a[2, 5]) > 0
         assert float(a[22, 5]) == 0.0
+
+
+def test_wrap_compat_mode(rng):
+    """Opt-in wrap mode: texels at coordinate -k land at n-k (reference
+    negative-index semantics); default mode drops them."""
+    from eincm_tpu.ops.splat import set_splat_wrap_compat
+
+    h, w = SENSOR
+    # one event whose rounded coord is 0: the dx=-1/dy=-1 texels go negative
+    xs = jnp.array([0.2], jnp.float32)
+    ys = jnp.array([0.1], jnp.float32)
+    g = lambda q: math.exp(-0.5 * q * q) / math.sqrt(2 * math.pi)
+
+    plain = np.asarray(events_to_pdf_frame(xs, ys, SENSOR))
+    assert plain[0, w - 1] == 0 and plain[h - 1, 0] == 0
+
+    set_splat_wrap_compat(True)
+    try:
+        wrapped = np.asarray(events_to_pdf_frame(xs, ys, SENSOR))
+    finally:
+        set_splat_wrap_compat(False)
+    # column -1 wraps to w-1, row -1 wraps to h-1
+    np.testing.assert_allclose(
+        wrapped[0, w - 1], g(-1 - 0.2) * g(0 - 0.1), rtol=1e-6)
+    np.testing.assert_allclose(
+        wrapped[h - 1, 0], g(0 - 0.2) * g(-1 - 0.1), rtol=1e-6)
+    np.testing.assert_allclose(
+        wrapped[h - 1, w - 1], g(-1 - 0.2) * g(-1 - 0.1), rtol=1e-6)
+    # in-sensor mass identical to the plain mode
+    np.testing.assert_allclose(wrapped[:3, :3], plain[:3, :3], rtol=1e-6)
