@@ -457,6 +457,30 @@ class EINCMExperiment:
             staged = self.stage(dl[idx])
             theta_full = self._final_theta_full(idx)
             plotter.plot_end_results(idx, staged, theta_full)
+
+            # per-step figures from recorded iterates (reference
+            # plotters.py:493-645, driven here by the on-device history)
+            inter = self.opt_results[key]["solver_intermediate_results"][
+                "theta_opt"
+            ]
+            thetas = inter.get("thetas", {}).get("pyr_lvl_0")
+            if thetas is not None and len(thetas):
+                shape = (*self.solver_cfg.level_shape(0), 2)
+                sensor = tuple(self.cfg.dataset.sensor_size)
+                picks = sorted({0, len(thetas) // 2, len(thetas) - 1})
+                prev_full = None
+                for it in picks:
+                    th_full = np.asarray(
+                        scale_theta_to_sensor_size(
+                            jnp.asarray(np.asarray(thetas[it]).reshape(shape)),
+                            sensor,
+                            self.cfg.solver.scale_theta_to_sensor_size_method,
+                        )
+                    )
+                    plotter.plot_step_result_detail(
+                        idx, staged, th_full, prev_full, itr=it, pyr=0
+                    )
+                    prev_full = th_full
         if self.eval_results:
             plotter.plot_metric_sequences(self.eval_results)
         plotter.assemble_video()

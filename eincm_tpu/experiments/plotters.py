@@ -44,6 +44,54 @@ def construct_event_frame(
     return frame
 
 
+def _event_mask_np(xs, ys, sensor_size) -> np.ndarray:
+    h, w = sensor_size
+    xi = np.round(np.asarray(xs, np.float64))
+    yi = np.round(np.asarray(ys, np.float64))
+    ok = np.isfinite(xi) & np.isfinite(yi)
+    ok &= (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+    mask = np.zeros((h, w), bool)
+    mask[yi[ok].astype(int), xi[ok].astype(int)] = True
+    return mask
+
+
+def blend_two_imgs(a: np.ndarray, b: np.ndarray, alpha: float) -> np.ndarray:
+    """cv.addWeighted equivalent (reference: img_utils.py:107-128)."""
+    out = a.astype(np.float64) * alpha + b.astype(np.float64) * (1 - alpha)
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def _whitened_image(img: np.ndarray) -> np.ndarray:
+    """Grayscale image -> whitened 3-channel uint8 backdrop
+    (reference: plotters.py:714-718)."""
+    a = np.asarray(img, np.float64)
+    a = (a - a.min()) / (a.max() - a.min() + 1e-12) * 255
+    img3 = np.stack([a] * 3, axis=-1).astype(np.uint8)
+    return blend_two_imgs(img3, np.full_like(img3, 255), 0.5)
+
+
+def overlay_events_on_image(
+    xs, ys, img3: np.ndarray, event_color=(213, 0, 50)
+) -> np.ndarray:
+    """Paint event pixels onto a 3-channel image
+    (reference: plotters.py overlay_events_on_image)."""
+    out = img3.copy()
+    mask = _event_mask_np(xs, ys, out.shape[:2])
+    out[mask] = np.asarray(event_color, np.uint8)
+    return out
+
+
+def event_flow_image_blend(
+    flow: np.ndarray, img3: np.ndarray, mask: np.ndarray
+) -> np.ndarray:
+    """Flow colors at masked pixels blended over a whitened image
+    (reference: plotters.py get_event_flow_and_image_blend)."""
+    flow_img = flow_uv_to_img(np.where(mask[..., None], flow, 0.0))
+    out = img3.copy()
+    out[mask] = flow_img[mask]
+    return out
+
+
 class EINCMExperimentPlotter:
     def __init__(self, cfg, plot_dir):
         self.cfg = cfg
@@ -56,50 +104,121 @@ class EINCMExperimentPlotter:
     def plot_end_results(
         self, idx: int, staged: StagedSample, theta_full
     ) -> Path:
-        """3x4 end-result grid: events, edges, IWE before/after, flow map
-        (reference: plotters.py:648-857)."""
+        """The reference's 3x4 end-result figure (plotters.py:648-857):
+
+            GT flow              | zero-warp events     | image t0   | edge t0
+            GT-flow+image blend  | events+image overlay | GT event   | scatter
+              (before)           |   (before)           |   flow     | (before)
+            pred-flow+img blend  | events+image overlay | pred event | scatter
+              (after)            |   (after)            |   flow     | (after)
+        """
         w = staged.window
         sensor = tuple(self.cfg.dataset.sensor_size)
-        xs, ys, ts = w.xs, w.ys, w.ts
+        ev = staged.eval_events
+        xs = np.asarray(ev["x"], np.float64)
+        ys = np.asarray(ev["y"], np.float64)
+        ts = np.asarray(ev["t"], np.float64)
 
-        zero_iwe = np.asarray(events_to_pdf_frame(xs, ys, sensor))
+        theta = np.asarray(theta_full)
         wx, wy = warp_events_multi_ref(
-            jnp.asarray(theta_full), xs, ys, ts, w.edge_ts
+            jnp.asarray(theta_full),
+            jnp.asarray(xs, jnp.float32),
+            jnp.asarray(ys, jnp.float32),
+            jnp.asarray(ts, jnp.float32),
+            w.edge_ts,
         )
-        iwe = np.asarray(events_to_pdf_frame(wx[0], wy[0], sensor))
+        lwx, lwy = np.asarray(wx[0], np.float64), np.asarray(wy[0], np.float64)
+        # in-array filter of warped events (reference: plotters.py:679-694)
+        keep = (
+            (np.round(lwx) >= 0) & (np.round(lwx) < sensor[1])
+            & (np.round(lwy) >= 0) & (np.round(lwy) < sensor[0])
+        )
+        xs_k, ys_k = xs[keep], ys[keep]
+        lwx, lwy = lwx[keep], lwy[keep]
 
-        flow = np.asarray(theta_full)
-        flow_img = embed_flow_code_in_img(flow_uv_to_img(flow))
+        img3w = _whitened_image(staged.images[0])
+        ev_mask_bef = _event_mask_np(xs_k, ys_k, sensor)
+        pred_event_flow = np.where(ev_mask_bef[..., None], theta, 0.0)
 
-        fig, axes = plt.subplots(3, 4, figsize=(16, 9))
-        panels = [
-            ("events (polarity)", construct_event_frame(
-                xs, ys, staged.polarities[: len(np.asarray(xs))], sensor)),
-            ("image[0]", staged.images[0]),
-            ("image[-1]", staged.images[-1]),
-            ("edges[0]", np.asarray(w.edges[0])),
-            ("IUE (zero warp)", zero_iwe),
-            ("IWE (final theta)", iwe),
-            ("theta flow", flow_img),
-            ("edges[-1]", np.asarray(w.edges[-1])),
-        ]
-        if staged.gt_flow is not None:
-            panels.append(
-                ("GT flow", embed_flow_code_in_img(flow_uv_to_img(staged.gt_flow)))
+        gt = staged.gt_flow
+        if gt is not None:
+            gt = np.asarray(gt, np.float64)
+            gt_valid = (
+                np.isfinite(gt[..., 0]) & np.isfinite(gt[..., 1])
+                & (np.linalg.norm(gt, axis=-1) > 0)
             )
-            epe = np.linalg.norm(flow - staged.gt_flow, axis=-1)
-            panels.append(("EPE map", epe))
-        for ax, (title, img) in zip(axes.ravel(), panels):
-            if img.ndim == 2:
-                ax.imshow(img, cmap="viridis")
-            else:
-                ax.imshow(img)
-            ax.set_title(title, fontsize=9)
-        for ax in axes.ravel():
-            ax.axis("off")
-        fig.suptitle(f"window {idx}")
+            gt_event_mask = gt_valid & ev_mask_bef
+            gt_event_flow = np.where(gt_event_mask[..., None], gt, 0.0)
+
+        white = np.full((*sensor, 3), 255, np.uint8)
+
+        fig, axs = plt.subplots(3, 4, figsize=(22, 13))
+        fig.suptitle(
+            f"{self.cfg.dataset.sequence_name} optimization end results "
+            f"[idx={idx}]"
+        )
+
+        def na(ax):
+            ax.annotate(
+                "N/A", (0.5, 0.5), xycoords="axes fraction",
+                ha="center", va="center", fontsize=50, color="darkgray",
+            )
+
+        if gt is not None:
+            axs[0, 0].imshow(embed_flow_code_in_img(flow_uv_to_img(gt)))
+        else:
+            na(axs[0, 0])
+        axs[0, 0].set_title("GT Flow")
+
+        axs[0, 1].imshow(overlay_events_on_image(xs_k, ys_k, white))
+        axs[0, 1].set_title("Image of Zero-Warped Events")
+        axs[0, 2].imshow(staged.images[0], cmap="gray")
+        axs[0, 2].set_title("Image at t$_0$")
+        im = axs[0, 3].imshow(np.asarray(w.edges[0]), cmap="binary")
+        fig.colorbar(im, ax=axs[0, 3], fraction=0.035)
+        axs[0, 3].set_title("Edge at t$_0$")
+
+        if gt is not None:
+            axs[1, 0].imshow(
+                event_flow_image_blend(gt_event_flow, img3w, gt_event_mask)
+            )
+            axs[1, 2].imshow(flow_uv_to_img(gt_event_flow))
+        else:
+            na(axs[1, 0])
+            na(axs[1, 2])
+        axs[1, 0].set_title("GT Event Flow and Image Blend (before)")
+        axs[1, 2].set_title("Estimated GT Event Flow")
+
+        axs[2, 0].imshow(
+            event_flow_image_blend(pred_event_flow, img3w, ev_mask_bef)
+        )
+        axs[2, 0].set_title("Predicted Event Flow and Image Blend (after)")
+        axs[2, 2].imshow(flow_uv_to_img(pred_event_flow))
+        axs[2, 2].set_title("Predicted Event Flow")
+
+        axs[1, 1].imshow(overlay_events_on_image(xs_k, ys_k, img3w))
+        axs[1, 1].set_title("Events+Image Overlay (before)")
+        axs[2, 1].imshow(overlay_events_on_image(lwx, lwy, img3w))
+        axs[2, 1].set_title("Events+Image Overlay (after)")
+
+        for ax, (sx, sy), title in (
+            (axs[1, 3], (xs_k, ys_k), "Scatter of Zero-Warped Events (before)"),
+            (axs[2, 3], (lwx, lwy), "Scatter of Warped Events at t$_0$ (after)"),
+        ):
+            ax.scatter(sx, sy, marker="o", lw=0, alpha=0.2, s=2, c="black")
+            ax.set(xlim=(0, sensor[1] - 1), ylim=(0, sensor[0] - 1))
+            ax.invert_yaxis()
+            ax.set_aspect("equal", "box")
+            ax.set_title(title)
+
+        for r in range(3):
+            for c in range(3):
+                axs[r, c].axis("off")
+        axs[0, 3].axis("off")
+
+        fig.tight_layout()
         path = self.plot_dir / f"end_result_{idx:06d}.png"
-        fig.savefig(path, dpi=110, bbox_inches="tight")
+        fig.savefig(path, dpi=100, bbox_inches="tight")
         plt.close(fig)
         self.end_result_paths.append(path)
         return path
@@ -204,6 +323,126 @@ class EINCMExperimentPlotter:
         plt.close(fig)
         return path
 
+    def plot_step_result_detail(
+        self,
+        idx: int,
+        staged: StagedSample,
+        theta_full: np.ndarray,
+        prev_theta_full: Optional[np.ndarray] = None,
+        itr="--",
+        pyr=0,
+    ) -> Path:
+        """The reference's 2x4 per-step figure (plotters.py:493-645):
+
+            flow-distribution scatter | theta field | IWE t0 (gamma) | edge t0
+            GT event flow             | pred event flow | IWE t1     | edge t1
+        """
+        w = staged.window
+        sensor = tuple(self.cfg.dataset.sensor_size)
+        ev = staged.eval_events
+        xs = np.asarray(ev["x"], np.float64)
+        ys = np.asarray(ev["y"], np.float64)
+        ts = np.asarray(ev["t"], np.float64)
+        theta = np.asarray(theta_full)
+
+        wx, wy = warp_events_multi_ref(
+            jnp.asarray(theta_full),
+            jnp.asarray(xs, jnp.float32),
+            jnp.asarray(ys, jnp.float32),
+            jnp.asarray(ts, jnp.float32),
+            w.edge_ts,
+        )
+        from eincm_tpu.ops.normalize import normalize_to_unit_range
+
+        l_iwe = np.asarray(
+            normalize_to_unit_range(events_to_pdf_frame(wx[0], wy[0], sensor))
+        )
+        r_iwe = np.asarray(
+            normalize_to_unit_range(events_to_pdf_frame(wx[-1], wy[-1], sensor))
+        )
+
+        xi = np.clip(np.round(xs).astype(int), 0, sensor[1] - 1)
+        yi = np.clip(np.round(ys).astype(int), 0, sensor[0] - 1)
+        cur_1d = theta[yi, xi]
+        prev_1d = (
+            np.asarray(prev_theta_full)[yi, xi]
+            if prev_theta_full is not None
+            else None
+        )
+        gt = staged.gt_flow
+        gt_1d = np.asarray(gt, np.float64)[yi, xi] if gt is not None else None
+
+        ev_mask = _event_mask_np(xs, ys, sensor)
+        pred_event_flow = np.where(ev_mask[..., None], theta, 0.0)
+
+        fig, axs = plt.subplots(2, 4, figsize=(22, 9))
+        fig.suptitle(
+            f"{self.cfg.dataset.sequence_name} optimization step results "
+            f"[idx={idx}, pyr={pyr}, itr={itr}]"
+        )
+
+        if gt_1d is not None:
+            axs[0, 0].scatter(
+                gt_1d[:, 0], gt_1d[:, 1], label="GT event flow",
+                color="forestgreen", marker="H", lw=0, s=21, alpha=0.4,
+            )
+        if prev_1d is not None:
+            axs[0, 0].scatter(
+                prev_1d[:, 0], prev_1d[:, 1], label="pred event flow (prev)",
+                color="cornflowerblue", marker="H", lw=0, s=27, alpha=0.35,
+            )
+        axs[0, 0].scatter(
+            cur_1d[:, 0], cur_1d[:, 1], label="pred event flow (curr)",
+            color="crimson", marker="H", lw=0, s=21, alpha=0.25,
+        )
+        axs[0, 0].grid(True)
+        axs[0, 0].axis("equal")
+        axs[0, 0].legend(markerscale=4, fontsize=7)
+        axs[0, 0].set_title("Event Flow Distribution Trend")
+
+        if gt is not None:
+            gt_valid = (
+                np.isfinite(np.asarray(gt)[..., 0])
+                & np.isfinite(np.asarray(gt)[..., 1])
+            )
+            gt_ev = np.where(
+                (gt_valid & ev_mask)[..., None], np.asarray(gt), 0.0
+            )
+            axs[1, 0].imshow(flow_uv_to_img(gt_ev))
+        else:
+            axs[1, 0].annotate(
+                "N/A", (0.5, 0.5), xycoords="axes fraction",
+                ha="center", va="center", fontsize=40, color="darkgray",
+            )
+        axs[1, 0].set_title("Groundtruth Event Flow")
+
+        axs[0, 1].imshow(flow_uv_to_img(theta))
+        axs[0, 1].set_title("Estimated 2D Velocity Field (Theta)")
+        axs[1, 1].imshow(flow_uv_to_img(pred_event_flow))
+        axs[1, 1].set_title("Predicted Event Flow")
+
+        # gamma-compressed IWE renders (reference uses **0.382)
+        for ax, img, title in (
+            (axs[0, 2], l_iwe, "Image of Warped Events at t$_0$"),
+            (axs[1, 2], r_iwe, "Image of Warped Events at t$_1$"),
+            (axs[0, 3], np.asarray(w.edges[0]), "Edge at t$_0$"),
+            (axs[1, 3], np.asarray(w.edges[-1]), "Edge at t$_1$"),
+        ):
+            shown = img ** 0.382 if title.startswith("Image") else img
+            im = ax.imshow(shown, cmap="binary")
+            fig.colorbar(im, ax=ax, fraction=0.035)
+            ax.set_title(title)
+
+        for ax in axs.ravel()[1:]:
+            ax.axis("off")
+        axs[0, 0].axis("on")
+
+        fig.tight_layout()
+        path = self.plot_dir / f"step_result_{idx:06d}_pyr{pyr}_itr{itr}.png"
+        fig.savefig(path, dpi=100, bbox_inches="tight")
+        plt.close(fig)
+        return path
+
     def plot_grad_quiver(
         self, idx: int, theta_full: np.ndarray, grad: np.ndarray, stride: int = 16
     ) -> Path:
@@ -227,20 +466,46 @@ class EINCMExperimentPlotter:
 
     # ------------------------------------------------------------- video
 
-    def assemble_video(self, fps: int = 2) -> Optional[Path]:
-        """Animated GIF of the per-window end-result frames
-        (reference uses cv.VideoWriter AVI, exp_mgr.py:758-792)."""
+    def assemble_video(self, fps: int = 2, formats=("avi", "gif")) -> Optional[Path]:
+        """Assemble the per-window end-result frames into a video.
+
+        Writes an MJPEG .avi (the reference's cv.VideoWriter output format,
+        exp_mgr.py:758-792, via our own RIFF writer — utils/avi.py) and an
+        animated GIF. Frames are padded to the largest common size.
+        """
         if not self.end_result_paths:
             return None
         from PIL import Image
 
-        frames = [Image.open(p) for p in self.end_result_paths]
-        path = self.plot_dir / "end_results.gif"
-        frames[0].save(
-            path,
-            save_all=True,
-            append_images=frames[1:],
-            duration=int(1000 / fps),
-            loop=0,
-        )
+        frames = [Image.open(p).convert("RGB") for p in self.end_result_paths]
+        w = max(f.width for f in frames)
+        h = max(f.height for f in frames)
+
+        def padded(f):
+            if (f.width, f.height) == (w, h):
+                return f
+            canvas = Image.new("RGB", (w, h), (255, 255, 255))
+            canvas.paste(f, ((w - f.width) // 2, (h - f.height) // 2))
+            return canvas
+
+        frames = [padded(f) for f in frames]
+        path = None
+        if "avi" in formats:
+            from eincm_tpu.utils.avi import write_mjpeg_avi
+
+            path = write_mjpeg_avi(
+                [np.asarray(f) for f in frames],
+                self.plot_dir / "end_results.avi",
+                fps=fps,
+            )
+        if "gif" in formats:
+            gif = self.plot_dir / "end_results.gif"
+            frames[0].save(
+                gif,
+                save_all=True,
+                append_images=frames[1:],
+                duration=int(1000 / fps),
+                loop=0,
+            )
+            path = path or gif
         return path

@@ -127,12 +127,50 @@ class TestExperimentRun:
     def test_plot_phase(self, tmp_path):
         cfg = tiny_cfg(tmp_path)
         cfg.phases.plot = True
+        cfg.solver.collect_intermediate = True  # enables per-step figures
         exp = EINCMExperiment(cfg)
         exp.run()
         pngs = list((exp.out_dir / "plots").glob("end_result_*.png"))
         assert len(pngs) == 3
         assert (exp.out_dir / "plots" / "seq_aee.png").exists()
         assert (exp.out_dir / "plots" / "end_results.gif").exists()
+        # per-step figures from the recorded level-0 iterates
+        steps = list((exp.out_dir / "plots").glob("step_result_*.png"))
+        assert len(steps) >= 3
+        # MJPEG AVI assembled (reference's video format): check RIFF header
+        avi = exp.out_dir / "plots" / "end_results.avi"
+        assert avi.exists()
+        head = avi.read_bytes()[:200]
+        assert head[:4] == b"RIFF" and head[8:12] == b"AVI "
+        assert b"MJPG" in head and b"vids" in head
+
+    def test_avi_writer_roundtrip(self, tmp_path):
+        import struct
+
+        from eincm_tpu.utils.avi import write_mjpeg_avi
+
+        frames = [
+            (np.random.default_rng(i).uniform(0, 255, (48, 64, 3))).astype(
+                np.uint8
+            )
+            for i in range(5)
+        ]
+        path = write_mjpeg_avi(frames, tmp_path / "t.avi", fps=3)
+        data = path.read_bytes()
+        assert data[:4] == b"RIFF" and data[8:12] == b"AVI "
+        # declared RIFF size matches the file
+        assert struct.unpack("<I", data[4:8])[0] + 8 == len(data)
+        # main header: 5 frames, 48x64
+        i = data.find(b"avih")
+        vals = struct.unpack("<14I", data[i + 8 : i + 8 + 56])
+        assert vals[4] == 5 and vals[8] == 64 and vals[9] == 48
+        # movi list contains 5 JPEG chunks (JPEG SOI marker)
+        assert data.count(b"00dc" + b"") >= 5
+        i = data.find(b"movi")
+        first = data[i + 4 : i + 16]
+        assert first[:4] == b"00dc" and first[8:10] == b"\xff\xd8"
+        # index present
+        assert b"idx1" in data
 
 
 class TestDSECSubmission:
