@@ -21,20 +21,24 @@ import numpy as np
 
 
 def main():
-    from eincm_tpu.ops.splat import events_to_pdf_frame
+    from eincm_tpu.ops.splat import set_splat_impl, splat_multi_ref
     from eincm_tpu.ops.warp import warp_events_multi_ref_coarse
 
     # DSEC-scale workload: 480x640 sensor, 1.5M events, 2 reference times
     # (run.sh:99-121 des_n_events=1500000). This is the solver's hot path:
-    # coarse theta -> fused bilinear interp + warp -> MXU splat per reference.
+    # coarse theta -> fused bilinear interp + warp -> banded MXU splat per
+    # reference. Events arrive row-sorted, matching the production staging
+    # (stage_datasample(sort_by_row=True)), so the row-banded kernel engages;
+    # it auto-falls-back to the full-height kernel when banding is invalid.
+    set_splat_impl("pallas_banded")
     H, W = 480, 640
     n_events = 1_500_000
     n_refs = 2
 
     rng = np.random.default_rng(0)
     xs = jnp.asarray(rng.integers(0, W, n_events).astype(np.float32))
-    ys = jnp.asarray(rng.integers(0, H, n_events).astype(np.float32))
-    ts = jnp.asarray(np.sort(rng.uniform(0, 1, n_events)).astype(np.float32))
+    ys = jnp.asarray(np.sort(rng.integers(0, H, n_events)).astype(np.float32))
+    ts = jnp.asarray(rng.uniform(0, 1, n_events).astype(np.float32))
     t_refs = jnp.asarray(np.linspace(0, 1, n_refs).astype(np.float32))
     theta = jnp.asarray(rng.normal(0, 4, (16, 16, 2)).astype(np.float32))
 
@@ -44,9 +48,7 @@ def main():
             theta, xs, ys, ts, t_refs, (H, W)
         )
         wx = wx + seed * 1e-6  # defeat caching across iterations
-        frames = jax.vmap(
-            lambda a, b: events_to_pdf_frame(a, b, (H, W))
-        )(wx, wy)
+        frames = splat_multi_ref(wx, wy, (H, W))
         return frames.sum()
 
     # compile + first sync

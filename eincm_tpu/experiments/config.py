@@ -145,6 +145,10 @@ class SolverSettings:
     # equivalent of the reference's collecting callbacks
     # (src/eincm/callbacks.py:100-364); required by phases.eval_intermediate
     collect_intermediate: bool = False
+    # IWE splat kernel: 'pallas_banded' (row-banded, wants row-sorted
+    # staging, auto-falls-back when banding is invalid; 1.5-1.6x the
+    # full-height kernel at DSEC scale) | 'pallas' | 'xla' | 'banded'
+    splat_impl: str = "pallas_banded"
 
     def growing_maxiters(self, miniter: int, maxiter: int) -> Tuple[int, ...]:
         """Per-level iteration budgets: more at coarse... actually more at the

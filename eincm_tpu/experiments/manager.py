@@ -44,6 +44,14 @@ class EINCMExperiment:
         self.cfg = cfg
         self.solver_cfg = cfg.solver_config()
         self.edge_fn = cfg.edge.make_edge_fn()
+
+        from eincm_tpu.ops.splat import set_splat_impl
+
+        set_splat_impl(cfg.solver.splat_impl)
+        # banded splats want row-local event chunks; all loss reductions are
+        # permutation-invariant, so event order is free
+        self._sort_by_row = cfg.solver.splat_impl in ("banded", "pallas_banded")
+
         self.window_solver = make_window_solver(self.solver_cfg)
 
         self.out_dir = Path(cfg.output_dir) / cfg.experiment_name
@@ -100,6 +108,7 @@ class EINCMExperiment:
             datasample,
             edge_fn=self.edge_fn,
             preprocess=self.cfg.edge.enable_image_preprocessing,
+            sort_by_row=self._sort_by_row,
         )
 
     # ----------------------------------------------------------------- solve
@@ -186,6 +195,7 @@ class EINCMExperiment:
                 edge_fn=self.edge_fn,
                 preprocess=self.cfg.edge.enable_image_preprocessing,
                 pad_to=max(pad_to or 0, actual),
+                sort_by_row=self._sort_by_row,
             )
 
         dev_windows = [[] for _ in range(n_dev)]

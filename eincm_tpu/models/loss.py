@@ -34,7 +34,11 @@ from eincm_tpu.models.objectives import (
 from eincm_tpu.ops.filters import scharr_grads
 from eincm_tpu.ops.normalize import normalize_to_unit_range
 from eincm_tpu.ops.resize import scale_theta_to_sensor_size
-from eincm_tpu.ops.splat import events_to_pdf_frame, make_event_mask
+from eincm_tpu.ops.splat import (
+    events_to_pdf_frame,
+    make_event_mask,
+    splat_multi_ref,
+)
 from eincm_tpu.ops.warp import (
     warp_events_multi_ref,
     warp_events_multi_ref_coarse,
@@ -123,8 +127,7 @@ def _theta_objectives(
         scaled_theta, xs, ys, ts, edge_ts, 1.0
     )  # (n_refs, E)
 
-    splat = partial(events_to_pdf_frame, sensor_size=sensor_size)
-    iwes = jax.vmap(splat)(warped_xs, warped_ys)  # (n_refs, H, W)
+    iwes = splat_multi_ref(warped_xs, warped_ys, sensor_size)  # (n_refs, H, W)
     normalized_iwes = jax.vmap(normalize_to_unit_range)(iwes)
 
     corrs = -jax.vmap(compute_mean_squared_error)(edges, normalized_iwes)
@@ -310,8 +313,7 @@ def solver_loss(
             scaled, xs, ys, ts, edge_ts, 1.0
         )
 
-    splat = partial(events_to_pdf_frame, sensor_size=sensor_size)
-    iwes = jax.vmap(splat)(warped_xs, warped_ys)
+    iwes = splat_multi_ref(warped_xs, warped_ys, sensor_size)
     normalized_iwes = jax.vmap(normalize_to_unit_range)(iwes)
 
     corrs = -jax.vmap(compute_mean_squared_error)(edges, normalized_iwes)

@@ -61,7 +61,10 @@ _SPLAT_IMPL = "pallas"
 
 
 def set_splat_impl(name: str) -> None:
-    assert name in ("xla", "pallas", "banded"), name
+    """'xla' | 'pallas' (full-height kernel) | 'pallas_banded' (row-banded
+    kernel with XLA fallback; wants row-sorted events — see
+    ops/splat_banded.py) | 'banded' (XLA row-banded variant)."""
+    assert name in ("xla", "pallas", "banded", "pallas_banded"), name
     global _SPLAT_IMPL
     _SPLAT_IMPL = name
 
@@ -165,10 +168,19 @@ def events_to_pdf_frame(
     H, W = sensor_size
     hw = window_size // 2
     wrap = _SPLAT_WRAP_COMPAT
-    if not wrap and _SPLAT_IMPL == "pallas" and jax.default_backend() == "tpu":
+    on_tpu = jax.default_backend() == "tpu"
+    if not wrap and _SPLAT_IMPL == "pallas" and on_tpu:
         from eincm_tpu.ops.splat_pallas import events_to_pdf_frame_pallas
 
         return events_to_pdf_frame_pallas(xs, ys, sensor_size, window_size)
+    if not wrap and _SPLAT_IMPL == "pallas_banded" and on_tpu:
+        from eincm_tpu.ops.splat_banded import (
+            events_to_pdf_frame_pallas_banded,
+        )
+
+        return events_to_pdf_frame_pallas_banded(
+            xs, ys, sensor_size, window_size
+        )
     if not wrap and _SPLAT_IMPL == "banded":
         return events_to_pdf_frame_banded(xs, ys, sensor_size, window_size)
     if chunk_size is None:
@@ -217,6 +229,41 @@ def events_to_pdf_frame(
     frame0 = jnp.zeros((H, W), dtype)
     frame, _ = jax.lax.scan(step, frame0, (xs, ys))
     return frame
+
+
+def splat_multi_ref(
+    warped_xs: jax.Array,
+    warped_ys: jax.Array,
+    sensor_size: Tuple[int, int],
+    window_size: int = 3,
+) -> jax.Array:
+    """(n_refs, E) warped coords -> (n_refs, H, W) IWEs.
+
+    vmap for the grid-batchable kernels; an unrolled loop for the banded
+    kernel (its scalar-prefetch grid spec does not batch under vmap, and
+    n_refs is a small static constant)."""
+    on_tpu = jax.default_backend() == "tpu"
+    if (
+        _SPLAT_IMPL == "pallas_banded"
+        and on_tpu
+        and not _SPLAT_WRAP_COMPAT
+    ):
+        from eincm_tpu.ops.splat_banded import (
+            events_to_pdf_frame_pallas_banded,
+        )
+
+        return jnp.stack(
+            [
+                events_to_pdf_frame_pallas_banded(
+                    warped_xs[i], warped_ys[i], sensor_size, window_size
+                )
+                for i in range(warped_xs.shape[0])
+            ]
+        )
+    splat = partial(
+        events_to_pdf_frame, sensor_size=sensor_size, window_size=window_size
+    )
+    return jax.vmap(splat)(warped_xs, warped_ys)
 
 
 def events_to_pdf_frame_banded(

@@ -1,0 +1,375 @@
+"""Row-banded Pallas splat with scalar-prefetched band offsets.
+
+The full-height Pallas kernel (ops/splat_pallas.py) contracts every event
+chunk against the whole (H, W) frame: H*W MACs per event. When events arrive
+sorted by (unwarped) sensor row, a chunk's *warped* rows span a narrow range,
+so the contraction only needs a B-row band anchored per chunk:
+
+    MACs/event: B*W   vs   H*W    (3.75x fewer at DSEC scale, B=128, H=480)
+
+Design (TODO.md round-1 item, landed round 2):
+  - per-chunk band start rows r0 (8-aligned, monotone via cummax) are
+    computed in XLA from the warped coordinates and passed as a
+    scalar-prefetch argument;
+  - the kernel keeps a 2B-row sliding accumulator in VMEM; the band's
+    (B, W) partial products land at a dynamic 8-aligned sublane offset;
+  - as the window advances (B-aligned), finished rows are DMA-flushed to the
+    HBM-resident output (memory_space=ANY) — each output block is written
+    exactly once, plus a step-0 zeroing pass, so no scatter/accumulate in
+    HBM is ever needed;
+  - the backward kernel DMAs the needed (B, W) slab of the cotangent into
+    VMEM per chunk (skipped when consecutive chunks share a band).
+
+Correctness is guarded, not assumed: the wrapper checks per event that every
+in-sensor splat row falls inside its chunk's band and that the window never
+advances more than A_MAX blocks per chunk; if violated (unsorted events,
+extreme vertical flow) it falls back to the full-height kernel via lax.cond.
+Semantics match `events_to_pdf_frame` exactly (drop at every sensor edge).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from eincm_tpu.ops.splat_pallas import (
+    _CHUNK,
+    _LANES,
+    _SUBROWS,
+    _pad_chunks,
+    events_to_pdf_frame_pallas,
+)
+
+_INV_SQRT_2PI = 1.0 / math.sqrt(2.0 * math.pi)
+
+_B = 128  # band rows (and the window-advance quantum)
+_A_MAX = 4  # max window advances per chunk (validity-checked in XLA)
+
+
+def _hpad(h: int) -> int:
+    # one spare block above the sensor so the final 2B flush stays in range
+    return (-(-h // _B) + 1) * _B
+
+
+def _wpad(w: int) -> int:
+    # DMA slabs require lane-dimension alignment to 128
+    return -(-w // _LANES) * _LANES
+
+
+# --------------------------------------------------------------------- fwd
+
+
+def _fwd_kernel(r0_ref, wx_ref, wy_ref, out_ref, acc, cur_ref, sem, *, w, hw, n_zero_blocks):
+    i = pl.program_id(0)
+
+    def flush_block():
+        cur = pl.multiple_of(cur_ref[0], _B)
+        dma = pltpu.make_async_copy(
+            acc.at[pl.ds(0, _B), :], out_ref.at[pl.ds(cur, _B), :], sem
+        )
+        dma.start()
+        dma.wait()
+
+    @pl.when(i == 0)
+    def _init():
+        acc[:] = jnp.zeros_like(acc)
+        # zero the whole HBM output by flushing the (zero) band over it
+        for k in range(n_zero_blocks):
+            dma = pltpu.make_async_copy(
+                acc.at[pl.ds(0, _B), :],
+                out_ref.at[pl.ds(k * _B, _B), :],
+                sem,
+            )
+            dma.start()
+            dma.wait()
+        cur_ref[0] = 0
+
+    r0 = r0_ref[i]
+
+    # advance the sliding window (at most _A_MAX B-row steps per chunk)
+    for _ in range(_A_MAX):
+        @pl.when(r0 > cur_ref[0] + _B)
+        def _adv():
+            flush_block()
+            acc[pl.ds(0, _B), :] = acc[pl.ds(_B, _B), :]
+            acc[pl.ds(_B, _B), :] = jnp.zeros((_B, acc.shape[1]), jnp.float32)
+            cur_ref[0] = cur_ref[0] + _B
+
+    off = r0 - cur_ref[0]  # in [0, _B], multiple of 8
+    base = r0.astype(jnp.float32)
+
+    part = jnp.zeros((_B, w), jnp.float32)
+    gidx = base + jax.lax.broadcasted_iota(jnp.int32, (_B, _LANES), 0).astype(
+        jnp.float32
+    )
+    widx = jax.lax.broadcasted_iota(jnp.int32, (_LANES, w), 1).astype(
+        jnp.float32
+    )
+    for j in range(_SUBROWS):
+        cy = wy_ref[j, :]
+        cx = wx_ref[j, :]
+        ry = jnp.round(cy)
+        rx = jnp.round(cx)
+        # U^T: (B, 128) weights for global rows [r0, r0 + B)
+        qy = gidx - cy[None, :]
+        uy = jnp.where(
+            jnp.abs(gidx - ry[None, :]) <= (hw + 0.5),
+            jnp.exp(-0.5 * qy * qy) * _INV_SQRT_2PI,
+            0.0,
+        )
+        # V: (128, W)
+        qx = widx - cx[:, None]
+        vx = jnp.where(
+            jnp.abs(widx - rx[:, None]) <= (hw + 0.5),
+            jnp.exp(-0.5 * qx * qx) * _INV_SQRT_2PI,
+            0.0,
+        )
+        part += jax.lax.dot_general(
+            uy, vx, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    off = pl.multiple_of(off, 8)  # r0 is 8-aligned, cur is B-aligned
+    acc[pl.ds(off, _B), :] += part
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _drain():
+        flush_block()
+        cur = pl.multiple_of(cur_ref[0] + _B, _B)
+        dma = pltpu.make_async_copy(
+            acc.at[pl.ds(_B, _B), :], out_ref.at[pl.ds(cur, _B), :], sem
+        )
+        dma.start()
+        dma.wait()
+
+
+def _band_starts(wy_r: jax.Array, h: int, hw: int, hpad: int):
+    """Per-chunk 8-aligned monotone band starts + validity flag (XLA).
+
+    Args:
+        wy_r: (n_chunks, chunk) warped row coordinates (NaN = padding).
+
+    Returns:
+        (r0 (n_chunks,) int32, ok () bool)
+    """
+    ry = jnp.round(wy_r)
+    row_lo = ry - hw
+    row_hi = ry + hw
+    inside = jnp.isfinite(ry) & (row_hi >= 0) & (row_lo <= h - 1)
+
+    big = jnp.float32(1e9)
+    rmin = jnp.min(jnp.where(inside, row_lo, big), axis=1)
+    r0 = jnp.clip(rmin, 0, hpad - 2 * _B)
+    r0 = (r0 / 8).astype(jnp.int32) * 8
+    r0 = jax.lax.cummax(r0)
+
+    # every in-sensor splat row must fall inside its chunk's band
+    lo_eff = jnp.maximum(row_lo, 0)
+    hi_eff = jnp.minimum(row_hi, jnp.float32(h - 1))
+    r0f = r0.astype(jnp.float32)[:, None]
+    ok_rows = jnp.all(
+        jnp.where(inside, (lo_eff >= r0f) & (hi_eff < r0f + _B), True)
+    )
+    # window advance per chunk bounded by _A_MAX blocks
+    cur = jnp.maximum(jnp.int32(0), (r0 - _B + _B - 1) // _B * _B)  # min cur per chunk
+    cur = jax.lax.cummax(cur)
+    prev = jnp.concatenate([jnp.zeros((1,), cur.dtype), cur[:-1]])
+    ok_adv = jnp.all((cur - prev) <= _A_MAX * _B)
+    return r0, ok_rows & ok_adv
+
+
+def _banded_fwd_call(xs, ys, r0, sensor_size, window_size):
+    H, W = sensor_size
+    hw = window_size // 2
+    hpad = _hpad(H)
+    wpad = _wpad(W)
+    xsr, ysr, n_chunks = _pad_chunks(xs, ys, _CHUNK)
+    xsr = xsr.reshape(n_chunks * _SUBROWS, _LANES)
+    ysr = ysr.reshape(n_chunks * _SUBROWS, _LANES)
+
+    kernel = partial(
+        _fwd_kernel, w=wpad, hw=hw, n_zero_blocks=hpad // _B
+    )
+    spec_ev = pl.BlockSpec(
+        (_SUBROWS, _LANES), lambda i, r0_ref: (i, 0), memory_space=pltpu.VMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_chunks,),
+        in_specs=[spec_ev, spec_ev],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2 * _B, wpad), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((hpad, wpad), jnp.float32),
+    )(r0, xsr, ysr)
+    return out[:H, :W]
+
+
+# --------------------------------------------------------------------- bwd
+
+
+def _bwd_kernel(r0_ref, wx_ref, wy_ref, g_ref, dwx_ref, dwy_ref, gband, prev_ref, sem, *, w, hw):
+    i = pl.program_id(0)
+    r0 = r0_ref[i]
+
+    @pl.when((i == 0) | (r0 != prev_ref[0]))
+    def _load():
+        dma = pltpu.make_async_copy(
+            g_ref.at[pl.ds(pl.multiple_of(r0, 8), _B), :], gband, sem
+        )
+        dma.start()
+        dma.wait()
+
+    prev_ref[0] = r0
+    base = r0.astype(jnp.float32)
+
+    gidx = base + jax.lax.broadcasted_iota(jnp.int32, (_LANES, _B), 1).astype(
+        jnp.float32
+    )
+    widx = jax.lax.broadcasted_iota(jnp.int32, (_LANES, w), 1).astype(
+        jnp.float32
+    )
+    for j in range(_SUBROWS):
+        cy = wy_ref[j, :]
+        cx = wx_ref[j, :]
+        ry = jnp.round(cy)
+        rx = jnp.round(cx)
+
+        # u, du: (128, B) band weights for global rows [r0, r0+B)
+        qy = gidx - cy[:, None]
+        inb = jnp.abs(gidx - ry[:, None]) <= (hw + 0.5)
+        gy = jnp.exp(-0.5 * qy * qy) * _INV_SQRT_2PI
+        u = jnp.where(inb, gy, 0.0)
+        du = jnp.where(inb, qy * gy, 0.0)
+
+        qx = widx - cx[:, None]
+        inbx = jnp.abs(widx - rx[:, None]) <= (hw + 0.5)
+        gx = jnp.exp(-0.5 * qx * qx) * _INV_SQRT_2PI
+        v = jnp.where(inbx, gx, 0.0)
+        dv = jnp.where(inbx, qx * gx, 0.0)
+
+        m = jax.lax.dot_general(  # (128, W) = U @ Gband
+            u, gband[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dwx_ref[j, :] = jnp.sum(m * dv, axis=1)
+        mt = jax.lax.dot_general(  # (128, B) = V @ Gband^T
+            v, gband[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dwy_ref[j, :] = jnp.sum(mt * du, axis=1)
+
+
+def _banded_bwd_call(xs32, ys32, r0, g, sensor_size, window_size):
+    H, W = sensor_size
+    hw = window_size // 2
+    hpad = _hpad(H)
+    wpad = _wpad(W)
+    n = xs32.shape[0]
+    xsr, ysr, n_chunks = _pad_chunks(xs32, ys32, _CHUNK)
+    xsr = xsr.reshape(n_chunks * _SUBROWS, _LANES)
+    ysr = ysr.reshape(n_chunks * _SUBROWS, _LANES)
+    gpad = jnp.zeros((hpad, wpad), jnp.float32).at[:H, :W].set(g)
+
+    kernel = partial(_bwd_kernel, w=wpad, hw=hw)
+    spec_ev = pl.BlockSpec(
+        (_SUBROWS, _LANES), lambda i, r0_ref: (i, 0), memory_space=pltpu.VMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_chunks,),
+        in_specs=[
+            spec_ev,
+            spec_ev,
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=(spec_ev, spec_ev),
+        scratch_shapes=[
+            pltpu.VMEM((_B, wpad), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    dwx, dwy = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((n_chunks * _SUBROWS, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_chunks * _SUBROWS, _LANES), jnp.float32),
+        ),
+    )(r0, xsr, ysr, gpad)
+    return dwx.reshape(-1)[:n], dwy.reshape(-1)[:n]
+
+
+# ----------------------------------------------------------- public entry
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def events_to_pdf_frame_pallas_banded(
+    xs: jax.Array,
+    ys: jax.Array,
+    sensor_size: Tuple[int, int],
+    window_size: int = 3,
+) -> jax.Array:
+    """Banded-splat IWE; falls back to the full-height kernel when the
+    banding precondition does not hold (see module docstring)."""
+    out, _ = _fwd(xs, ys, sensor_size, window_size)
+    return out
+
+
+def _precompute(xs, ys, sensor_size, window_size):
+    H, W = sensor_size
+    hw = window_size // 2
+    hpad = _hpad(H)
+    ys32 = ys.astype(jnp.float32)
+    _, ysr, _ = _pad_chunks(xs.astype(jnp.float32), ys32, _CHUNK)
+    r0, ok = _band_starts(ysr, H, hw, hpad)
+    return r0, ok
+
+
+def _fwd(xs, ys, sensor_size, window_size):
+    xs32 = xs.astype(jnp.float32)
+    ys32 = ys.astype(jnp.float32)
+    r0, ok = _precompute(xs32, ys32, sensor_size, window_size)
+    out = jax.lax.cond(
+        ok,
+        lambda: _banded_fwd_call(xs32, ys32, r0, sensor_size, window_size),
+        lambda: events_to_pdf_frame_pallas(xs32, ys32, sensor_size, window_size),
+    )
+    return out, (xs, ys, r0, ok)
+
+
+def _bwd(sensor_size, window_size, res, g):
+    xs, ys, r0, ok = res
+    xs32 = xs.astype(jnp.float32)
+    ys32 = ys.astype(jnp.float32)
+    g32 = g.astype(jnp.float32)
+
+    def banded():
+        return _banded_bwd_call(xs32, ys32, r0, g32, sensor_size, window_size)
+
+    def full():
+        # reuse the full kernel's custom VJP body
+        from eincm_tpu.ops.splat_pallas import _bwd_pallas
+
+        return _bwd_pallas(xs32, ys32, g32, sensor_size, window_size)
+
+    dwx, dwy = jax.lax.cond(ok, banded, full)
+    dwx = jnp.where(jnp.isfinite(dwx), dwx, 0.0).astype(xs.dtype)
+    dwy = jnp.where(jnp.isfinite(dwy), dwy, 0.0).astype(ys.dtype)
+    return dwx, dwy
+
+
+events_to_pdf_frame_pallas_banded.defvjp(_fwd, _bwd)

@@ -1,0 +1,70 @@
+"""Real-TPU kernel parity tests — skipped on the CPU test mesh.
+
+The CI suite forces JAX_PLATFORMS=cpu (conftest.py); these tests only run
+when executed on a machine where the default backend is a TPU, e.g.:
+
+    JAX_PLATFORMS='' python -m pytest tests/test_tpu_kernels.py --no-header -q
+
+They close the loop on the Pallas kernels whose CPU coverage is interpret-
+mode only (tests/test_splat_pallas.py): numerics of the fused full-height
+kernel and the row-banded kernel against the scatter oracle on hardware.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+on_tpu = jax.default_backend() == "tpu"
+pytestmark = pytest.mark.skipif(not on_tpu, reason="needs a real TPU backend")
+
+
+@pytest.fixture(scope="module")
+def events():
+    H, W, E = 480, 640, 200_000
+    r = np.random.default_rng(3)
+    ys = np.sort(r.uniform(0, H - 1, E)).astype(np.float32)
+    xs = r.uniform(0, W - 1, E).astype(np.float32)
+    wy = jnp.asarray(np.round(ys) - r.uniform(-20, 20, E).astype(np.float32))
+    wx = jnp.asarray(np.round(xs) - r.uniform(-30, 30, E).astype(np.float32))
+    return (H, W), wx, wy
+
+
+def test_full_kernel_vs_oracle(events):
+    from eincm_tpu.ops.splat import events_to_pdf_frame_scatter
+    from eincm_tpu.ops.splat_pallas import events_to_pdf_frame_pallas
+
+    sensor, wx, wy = events
+    a = np.asarray(events_to_pdf_frame_pallas(wx, wy, sensor))
+    b = np.asarray(events_to_pdf_frame_scatter(wx, wy, sensor))
+    assert np.abs(a - b).max() / np.abs(b).max() < 5e-3  # single-pass bf16 MXU
+
+
+def test_banded_kernel_vs_oracle_and_grads(events):
+    from eincm_tpu.ops.splat import events_to_pdf_frame_scatter
+    from eincm_tpu.ops.splat_banded import events_to_pdf_frame_pallas_banded
+    from eincm_tpu.ops.splat_pallas import events_to_pdf_frame_pallas
+
+    sensor, wx, wy = events
+    a = np.asarray(events_to_pdf_frame_pallas_banded(wx, wy, sensor))
+    b = np.asarray(events_to_pdf_frame_scatter(wx, wy, sensor))
+    assert np.abs(a - b).max() / np.abs(b).max() < 5e-3
+
+    g1 = jax.grad(
+        lambda w: jnp.sum(jnp.sin(events_to_pdf_frame_pallas_banded(w, wy, sensor)))
+    )(wx)
+    g2 = jax.grad(
+        lambda w: jnp.sum(jnp.sin(events_to_pdf_frame_pallas(w, wy, sensor)))
+    )(wx)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5, atol=1e-7)
+
+
+def test_banded_fallback_unsorted(events):
+    from eincm_tpu.ops.splat import events_to_pdf_frame_scatter
+    from eincm_tpu.ops.splat_banded import events_to_pdf_frame_pallas_banded
+
+    sensor, wx, wy = events
+    perm = np.random.default_rng(0).permutation(wx.shape[0])
+    a = np.asarray(events_to_pdf_frame_pallas_banded(wx[perm], wy[perm], sensor))
+    b = np.asarray(events_to_pdf_frame_scatter(wx, wy, sensor))
+    assert np.abs(a - b).max() / np.abs(b).max() < 5e-3
