@@ -149,6 +149,22 @@ class DSECDataLoader:
         assert self.l_events["x"].max() < self.width
         assert self.l_events["y"].max() < self.height
 
+        # native streaming pass (one gather+round+filter+compact over the
+        # full stream, multithreaded — events.cpp); numpy fallback below
+        try:
+            from eincm_tpu.native import events as native_events
+
+            if native_events.available():
+                ox, oy, ot, op = native_events.rectify_filter_events(
+                    self.l_events["x"], self.l_events["y"],
+                    self.l_events["t"], self.l_events["p"],
+                    self.rectify_map, (self.height, self.width),
+                )
+                self.l_events = {"x": ox, "y": oy, "t": ot, "p": op}
+                return
+        except Exception:
+            pass
+
         rect = self.rectify_map[self.l_events["y"], self.l_events["x"]]
         rec_x = np.round(rect[:, 0]).astype(np.int16)
         rec_y = np.round(rect[:, 1]).astype(np.int16)

@@ -10,7 +10,11 @@ from __future__ import annotations
 import subprocess
 from pathlib import Path
 
-SRC = Path(__file__).parent / "vision.cpp"
+SRCS = [
+    Path(__file__).parent / "vision.cpp",
+    Path(__file__).parent / "events.cpp",
+]
+SRC = SRCS[0]  # back-compat
 LIB = Path(__file__).parent / "libeincm_vision.so"
 
 
@@ -18,12 +22,13 @@ def build(force: bool = False) -> Path | None:
     if (
         not force
         and LIB.exists()
-        and LIB.stat().st_mtime >= SRC.stat().st_mtime
+        and all(LIB.stat().st_mtime >= s.stat().st_mtime for s in SRCS)
     ):
         return LIB
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-        str(SRC), "-o", str(LIB),
+        "-pthread",
+        *[str(s) for s in SRCS], "-o", str(LIB),
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, text=True)

@@ -202,3 +202,46 @@ def test_armijo_requires_fun():
             _fg(lambda x: (x**2).sum()), jnp.zeros(2), maxiter=5,
             line_search="armijo",
         )
+
+
+class TestJaxoptCompat:
+    """Drop-in ScipyMinimize/ScipyBoundedMinimize wrappers (models/compat.py)."""
+
+    def test_scipy_minimize_rosenbrock(self):
+        from eincm_tpu.models.compat import ScipyMinimize
+
+        def rosen(x):
+            return ((1 - x[0]) ** 2 + 100 * (x[1] - x[0] ** 2) ** 2,
+                    {"aux": x.sum()})
+
+        solver = ScipyMinimize(
+            fun=rosen, method="BFGS", maxiter=200, has_aux=True,
+            options={"gtol": 1e-6},
+        )
+        res = solver.run(jnp.array([-1.2, 1.0]))
+        assert np.allclose(np.asarray(res.params), [1.0, 1.0], atol=1e-3)
+        assert float(res.state.fun_val) < 1e-6
+
+    def test_scipy_minimize_callback_trajectory(self):
+        from eincm_tpu.models.compat import ScipyMinimize
+
+        seen = []
+        solver = ScipyMinimize(
+            fun=lambda x: ((x - 3.0) ** 2).sum(), maxiter=30,
+            callback=lambda r: seen.append((np.asarray(r.x), float(r.fun))),
+        )
+        res = solver.run(jnp.zeros(4))
+        assert len(seen) >= 2
+        # callback sees params in the original shape, losses decreasing
+        assert seen[0][0].shape == (4,)
+        assert seen[-1][1] <= seen[0][1]
+        assert np.allclose(np.asarray(res.params), 3.0, atol=1e-4)
+
+    def test_scipy_bounded_minimize(self):
+        from eincm_tpu.models.compat import ScipyBoundedMinimize
+
+        solver = ScipyBoundedMinimize(
+            fun=lambda w: (w - 0.7) ** 2, maxiter=40
+        )
+        res = solver.run(0.5, (0.0, 1.0))
+        assert np.isclose(float(res.params), 0.7, atol=1e-4)
