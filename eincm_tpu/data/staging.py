@@ -41,12 +41,60 @@ def _normalize_img(img: np.ndarray) -> np.ndarray:
     return (img - img.min()) / (img.max() - img.min() + EPSN)
 
 
+def tile_sort_events(xs, ys, ts, ps, sensor_h: int):
+    """Reorder events into (row-block, column)-sorted, block-chunk-padded
+    layout for the column-banded splat kernel (ops/splat_banded.py).
+
+    Events are stably sorted by (y // (B/2), x) so every fixed-size kernel
+    chunk sees a narrow row AND column range; each row-block's event run is
+    padded with NaNs to a multiple of the kernel chunk so no chunk straddles
+    two blocks. Blocks are HALF the kernel's row band so the remaining B/2
+    rows absorb the warp-induced row spread. The output length is a static
+    function of the input length (ceil(n/CHUNK)*CHUNK + n_blocks*CHUNK),
+    keeping one compile per sequence. All loss reductions are
+    permutation-invariant and NaN events contribute nothing, so this is
+    value-preserving.
+    """
+    from eincm_tpu.ops.splat_banded import _B, _CHUNK
+
+    tile_h = _B // 2
+    n = len(xs)
+    nb = -(-sensor_h // tile_h)
+    out_len = -(-n // _CHUNK) * _CHUNK + nb * _CHUNK
+
+    finite = np.isfinite(ys)
+    block = np.full(n, nb - 1, np.int64)
+    block[finite] = np.clip(
+        (ys[finite].astype(np.int64)) // tile_h, 0, nb - 1
+    )
+    order = np.lexsort((np.where(np.isfinite(xs), xs, np.inf), block))
+    xs, ys, ts, ps = xs[order], ys[order], ts[order], ps[order]
+    block = block[order]
+
+    out = [
+        np.full(out_len, np.nan, xs.dtype),
+        np.full(out_len, np.nan, ys.dtype),
+        np.full(out_len, np.nan, ts.dtype),
+        np.zeros(out_len, bool),
+    ]
+    pos = 0
+    for b in range(nb):
+        lo, hi = np.searchsorted(block, [b, b + 1])
+        cnt = hi - lo
+        for o, src in zip(out, (xs, ys, ts, ps)):
+            o[pos : pos + cnt] = src[lo:hi]
+        pos += -(-cnt // _CHUNK) * _CHUNK if cnt else 0
+    assert pos <= out_len
+    return tuple(out)
+
+
 def stage_datasample(
     datasample: Dict,
     edge_fn: Optional[Callable] = None,
     preprocess: bool = True,
     pad_to: Optional[int] = None,
     sort_by_row: bool = False,
+    sort_by_tile: bool = False,
     dtype=np.float32,
 ) -> StagedSample:
     """Stage one raw loader sample.
@@ -117,6 +165,10 @@ def stage_datasample(
         ys = np.concatenate([ys, fill])
         ts_n = np.concatenate([ts_n, fill])
         ps = np.concatenate([ps, np.zeros(pad, bool)])
+
+    if sort_by_tile:
+        h = np.asarray(datasample["images"]).shape[-2]
+        xs, ys, ts_n, ps = tile_sort_events(xs, ys, ts_n, ps, h)
 
     window = WindowSample(
         xs=xs.astype(dtype),

@@ -48,9 +48,10 @@ class EINCMExperiment:
         from eincm_tpu.ops.splat import set_splat_impl
 
         set_splat_impl(cfg.solver.splat_impl)
-        # banded splats want row-local event chunks; all loss reductions are
-        # permutation-invariant, so event order is free
+        # banded splats want row-local (or tile-local) event chunks; all
+        # loss reductions are permutation-invariant, so event order is free
         self._sort_by_row = cfg.solver.splat_impl in ("banded", "pallas_banded")
+        self._sort_by_tile = cfg.solver.splat_impl == "pallas_banded2d"
 
         self.window_solver = make_window_solver(self.solver_cfg)
 
@@ -109,6 +110,7 @@ class EINCMExperiment:
             edge_fn=self.edge_fn,
             preprocess=self.cfg.edge.enable_image_preprocessing,
             sort_by_row=self._sort_by_row,
+            sort_by_tile=self._sort_by_tile,
         )
 
     # ----------------------------------------------------------------- solve
@@ -196,6 +198,7 @@ class EINCMExperiment:
                 preprocess=self.cfg.edge.enable_image_preprocessing,
                 pad_to=max(pad_to or 0, actual),
                 sort_by_row=self._sort_by_row,
+                sort_by_tile=self._sort_by_tile,
             )
 
         dev_windows = [[] for _ in range(n_dev)]

@@ -47,6 +47,27 @@ from eincm_tpu.ops.warp import (
 EPSN = sys.float_info.epsilon
 
 
+def _sanitize_events(xs, ys, ts):
+    """Replace NaN padding events by an off-sensor sentinel.
+
+    NaN coordinates are dropped correctly by every forward op, but they
+    poison the BACKWARD pass: the warp VJP multiplies zero cotangents by
+    NaN interp weights / NaN dts (NaN*0 = NaN) and the contamination reaches
+    dtheta. A finite off-sensor event (x = y = -10, t = 0) contributes zero
+    to every splat/mask/objective — round(-10) is outside every band and
+    every one-hot — while keeping all gradient paths finite. (The opt-in
+    wrap-compat splat would wrap -10; padded events never occur there.)
+    """
+    finite = jnp.isfinite(xs) & jnp.isfinite(ys) & jnp.isfinite(ts)
+    sent = jnp.asarray(-10.0, xs.dtype)
+    zero = jnp.asarray(0.0, ts.dtype)
+    return (
+        jnp.where(finite, xs, sent),
+        jnp.where(finite, ys, sent),
+        jnp.where(finite, ts, zero),
+    )
+
+
 @dataclass(frozen=True)
 class LossParams:
     """Objective weights (reference: loss_func args, src/eincm/losses.py:115-118).
@@ -122,6 +143,7 @@ def _theta_objectives(
     """Theta-dependent objective bundle, given precomputed window statics."""
     dtype = scaled_theta.dtype
     epsn = jnp.asarray(EPSN, dtype)
+    xs, ys, ts = _sanitize_events(xs, ys, ts)
 
     warped_xs, warped_ys = warp_events_multi_ref(
         scaled_theta, xs, ys, ts, edge_ts, 1.0
@@ -297,6 +319,7 @@ def solver_loss(
     dtype = theta.dtype
     epsn = jnp.asarray(EPSN, dtype)
     sensor_size = statics.sensor_size
+    xs, ys, ts = _sanitize_events(xs, ys, ts)
     w = jnp.asarray(
         compute_weights_for_multi_reference(n_refs=edges.shape[0]), dtype
     )

@@ -62,9 +62,12 @@ _SPLAT_IMPL = "pallas"
 
 def set_splat_impl(name: str) -> None:
     """'xla' | 'pallas' (full-height kernel) | 'pallas_banded' (row-banded
-    kernel with XLA fallback; wants row-sorted events — see
-    ops/splat_banded.py) | 'banded' (XLA row-banded variant)."""
-    assert name in ("xla", "pallas", "banded", "pallas_banded"), name
+    kernel with fallback; wants row-sorted events) | 'pallas_banded2d'
+    (row+column-banded; wants tile-sorted events — see ops/splat_banded.py)
+    | 'banded' (XLA row-banded variant)."""
+    assert name in (
+        "xla", "pallas", "banded", "pallas_banded", "pallas_banded2d"
+    ), name
     global _SPLAT_IMPL
     _SPLAT_IMPL = name
 
@@ -173,13 +176,18 @@ def events_to_pdf_frame(
         from eincm_tpu.ops.splat_pallas import events_to_pdf_frame_pallas
 
         return events_to_pdf_frame_pallas(xs, ys, sensor_size, window_size)
-    if not wrap and _SPLAT_IMPL == "pallas_banded" and on_tpu:
+    if (
+        not wrap
+        and _SPLAT_IMPL in ("pallas_banded", "pallas_banded2d")
+        and on_tpu
+    ):
         from eincm_tpu.ops.splat_banded import (
             events_to_pdf_frame_pallas_banded,
         )
 
         return events_to_pdf_frame_pallas_banded(
-            xs, ys, sensor_size, window_size
+            xs, ys, sensor_size, window_size,
+            try_col_band=(_SPLAT_IMPL == "pallas_banded2d"),
         )
     if not wrap and _SPLAT_IMPL == "banded":
         return events_to_pdf_frame_banded(xs, ys, sensor_size, window_size)
@@ -244,7 +252,7 @@ def splat_multi_ref(
     n_refs is a small static constant)."""
     on_tpu = jax.default_backend() == "tpu"
     if (
-        _SPLAT_IMPL == "pallas_banded"
+        _SPLAT_IMPL in ("pallas_banded", "pallas_banded2d")
         and on_tpu
         and not _SPLAT_WRAP_COMPAT
     ):
@@ -252,10 +260,12 @@ def splat_multi_ref(
             events_to_pdf_frame_pallas_banded,
         )
 
+        col = _SPLAT_IMPL == "pallas_banded2d"
         return jnp.stack(
             [
                 events_to_pdf_frame_pallas_banded(
-                    warped_xs[i], warped_ys[i], sensor_size, window_size
+                    warped_xs[i], warped_ys[i], sensor_size, window_size,
+                    try_col_band=col,
                 )
                 for i in range(warped_xs.shape[0])
             ]

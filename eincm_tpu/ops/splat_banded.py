@@ -50,6 +50,7 @@ _INV_SQRT_2PI = 1.0 / math.sqrt(2.0 * math.pi)
 
 _B = 128  # band rows (and the window-advance quantum)
 _A_MAX = 4  # max window advances per chunk (validity-checked in XLA)
+_BC = 256  # column band width (lane-aligned), used with tile-sorted staging
 
 
 def _hpad(h: int) -> int:
@@ -65,7 +66,14 @@ def _wpad(w: int) -> int:
 # --------------------------------------------------------------------- fwd
 
 
-def _fwd_kernel(r0_ref, wx_ref, wy_ref, out_ref, acc, cur_ref, sem, *, w, hw, n_zero_blocks):
+def _fwd_kernel(r0_ref, wx_ref, wy_ref, out_ref, acc, cur_ref, sem, *, w, hw, n_zero_blocks, bc):
+    """Forward splat over a (B, bc) band per chunk.
+
+    `bc == w` is the row-banded configuration (column offsets are all zero);
+    `bc == _BC` additionally restricts the columns to a 128-aligned band
+    whose start arrives with the row offsets in the prefetched (n, 2) array
+    — valid when events are tile-sorted (data/staging.py tile_sort_events).
+    """
     i = pl.program_id(0)
 
     def flush_block():
@@ -90,7 +98,8 @@ def _fwd_kernel(r0_ref, wx_ref, wy_ref, out_ref, acc, cur_ref, sem, *, w, hw, n_
             dma.wait()
         cur_ref[0] = 0
 
-    r0 = r0_ref[i]
+    r0 = r0_ref[i, 0]
+    c0 = r0_ref[i, 1]
 
     # advance the sliding window (at most _A_MAX B-row steps per chunk)
     for _ in range(_A_MAX):
@@ -103,12 +112,13 @@ def _fwd_kernel(r0_ref, wx_ref, wy_ref, out_ref, acc, cur_ref, sem, *, w, hw, n_
 
     off = r0 - cur_ref[0]  # in [0, _B], multiple of 8
     base = r0.astype(jnp.float32)
+    cbase = c0.astype(jnp.float32)
 
-    part = jnp.zeros((_B, w), jnp.float32)
+    part = jnp.zeros((_B, bc), jnp.float32)
     gidx = base + jax.lax.broadcasted_iota(jnp.int32, (_B, _LANES), 0).astype(
         jnp.float32
     )
-    widx = jax.lax.broadcasted_iota(jnp.int32, (_LANES, w), 1).astype(
+    widx = cbase + jax.lax.broadcasted_iota(jnp.int32, (_LANES, bc), 1).astype(
         jnp.float32
     )
     for j in range(_SUBROWS):
@@ -123,7 +133,7 @@ def _fwd_kernel(r0_ref, wx_ref, wy_ref, out_ref, acc, cur_ref, sem, *, w, hw, n_
             jnp.exp(-0.5 * qy * qy) * _INV_SQRT_2PI,
             0.0,
         )
-        # V: (128, W)
+        # V: (128, bc) weights for global cols [c0, c0 + bc)
         qx = widx - cx[:, None]
         vx = jnp.where(
             jnp.abs(widx - rx[:, None]) <= (hw + 0.5),
@@ -135,7 +145,11 @@ def _fwd_kernel(r0_ref, wx_ref, wy_ref, out_ref, acc, cur_ref, sem, *, w, hw, n_
             preferred_element_type=jnp.float32,
         )
     off = pl.multiple_of(off, 8)  # r0 is 8-aligned, cur is B-aligned
-    acc[pl.ds(off, _B), :] += part
+    if bc == w:
+        acc[pl.ds(off, _B), :] += part
+    else:
+        coff = pl.multiple_of(c0, _LANES)
+        acc[pl.ds(off, _B), pl.ds(coff, bc)] += part
 
     @pl.when(i == pl.num_programs(0) - 1)
     def _drain():
@@ -163,14 +177,19 @@ def _band_starts(wy_r: jax.Array, h: int, hw: int, hpad: int):
     inside = jnp.isfinite(ry) & (row_hi >= 0) & (row_lo <= h - 1)
 
     big = jnp.float32(1e9)
-    rmin = jnp.min(jnp.where(inside, row_lo, big), axis=1)
-    r0 = jnp.clip(rmin, 0, hpad - 2 * _B)
-    r0 = (r0 / 8).astype(jnp.int32) * 8
+    lo_eff = jnp.maximum(row_lo, 0)
+    hi_eff = jnp.minimum(row_hi, jnp.float32(h - 1))
+    # Lowest monotone band-start sequence that still covers each chunk's
+    # TOP in-sensor row: r0 >= rmax - (B-1), rounded up to 8, cummax'd.
+    # (Anchoring on the chunk MIN row instead breaks under tile sorting,
+    # where min rows regress within a block.) Validity then only needs the
+    # bottom rows to clear r0.
+    rmax = jnp.max(jnp.where(inside, hi_eff, -big), axis=1)
+    r0 = jnp.clip(rmax - (_B - 1), 0, hpad - 2 * _B)
+    r0 = -(-r0.astype(jnp.int32) // 8) * 8  # ceil to 8
     r0 = jax.lax.cummax(r0)
 
     # every in-sensor splat row must fall inside its chunk's band
-    lo_eff = jnp.maximum(row_lo, 0)
-    hi_eff = jnp.minimum(row_hi, jnp.float32(h - 1))
     r0f = r0.astype(jnp.float32)[:, None]
     ok_rows = jnp.all(
         jnp.where(inside, (lo_eff >= r0f) & (hi_eff < r0f + _B), True)
@@ -183,7 +202,33 @@ def _band_starts(wy_r: jax.Array, h: int, hw: int, hpad: int):
     return r0, ok_rows & ok_adv
 
 
-def _banded_fwd_call(xs, ys, r0, sensor_size, window_size):
+def _col_starts(wx_r: jax.Array, w: int, hw: int, wpad: int):
+    """Per-chunk 128-aligned column-band starts + validity flag (XLA).
+
+    Unlike rows, columns need no sliding window (the accumulator spans the
+    full width) — c0 is absolute per chunk. Valid when tile-sorted staging
+    keeps every chunk's in-sensor splat columns inside one _BC-wide band.
+    """
+    rx = jnp.round(wx_r)
+    col_lo = rx - hw
+    col_hi = rx + hw
+    inside = jnp.isfinite(rx) & (col_hi >= 0) & (col_lo <= w - 1)
+
+    big = jnp.float32(1e9)
+    cmin = jnp.min(jnp.where(inside, col_lo, big), axis=1)
+    c0 = jnp.clip(cmin, 0, wpad - _BC)
+    c0 = (c0 / _LANES).astype(jnp.int32) * _LANES
+
+    lo_eff = jnp.maximum(col_lo, 0)
+    hi_eff = jnp.minimum(col_hi, jnp.float32(w - 1))
+    c0f = c0.astype(jnp.float32)[:, None]
+    ok_cols = jnp.all(
+        jnp.where(inside, (lo_eff >= c0f) & (hi_eff < c0f + _BC), True)
+    )
+    return c0, ok_cols
+
+
+def _banded_fwd_call(xs, ys, r0c0, sensor_size, window_size, bc):
     H, W = sensor_size
     hw = window_size // 2
     hpad = _hpad(H)
@@ -193,7 +238,7 @@ def _banded_fwd_call(xs, ys, r0, sensor_size, window_size):
     ysr = ysr.reshape(n_chunks * _SUBROWS, _LANES)
 
     kernel = partial(
-        _fwd_kernel, w=wpad, hw=hw, n_zero_blocks=hpad // _B
+        _fwd_kernel, w=wpad, hw=hw, n_zero_blocks=hpad // _B, bc=bc
     )
     spec_ev = pl.BlockSpec(
         (_SUBROWS, _LANES), lambda i, r0_ref: (i, 0), memory_space=pltpu.VMEM
@@ -213,16 +258,17 @@ def _banded_fwd_call(xs, ys, r0, sensor_size, window_size):
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((hpad, wpad), jnp.float32),
-    )(r0, xsr, ysr)
+    )(r0c0, xsr, ysr)
     return out[:H, :W]
 
 
 # --------------------------------------------------------------------- bwd
 
 
-def _bwd_kernel(r0_ref, wx_ref, wy_ref, g_ref, dwx_ref, dwy_ref, gband, prev_ref, sem, *, w, hw):
+def _bwd_kernel(r0_ref, wx_ref, wy_ref, g_ref, dwx_ref, dwy_ref, gband, prev_ref, sem, *, w, hw, bc):
     i = pl.program_id(0)
-    r0 = r0_ref[i]
+    r0 = r0_ref[i, 0]
+    c0 = r0_ref[i, 1]
 
     @pl.when((i == 0) | (r0 != prev_ref[0]))
     def _load():
@@ -234,11 +280,17 @@ def _bwd_kernel(r0_ref, wx_ref, wy_ref, g_ref, dwx_ref, dwy_ref, gband, prev_ref
 
     prev_ref[0] = r0
     base = r0.astype(jnp.float32)
+    cbase = c0.astype(jnp.float32)
+
+    if bc == w:
+        gsl = gband[:]
+    else:
+        gsl = gband[:, pl.ds(pl.multiple_of(c0, _LANES), bc)]
 
     gidx = base + jax.lax.broadcasted_iota(jnp.int32, (_LANES, _B), 1).astype(
         jnp.float32
     )
-    widx = jax.lax.broadcasted_iota(jnp.int32, (_LANES, w), 1).astype(
+    widx = cbase + jax.lax.broadcasted_iota(jnp.int32, (_LANES, bc), 1).astype(
         jnp.float32
     )
     for j in range(_SUBROWS):
@@ -260,19 +312,19 @@ def _bwd_kernel(r0_ref, wx_ref, wy_ref, g_ref, dwx_ref, dwy_ref, gband, prev_ref
         v = jnp.where(inbx, gx, 0.0)
         dv = jnp.where(inbx, qx * gx, 0.0)
 
-        m = jax.lax.dot_general(  # (128, W) = U @ Gband
-            u, gband[:], (((1,), (0,)), ((), ())),
+        m = jax.lax.dot_general(  # (128, bc) = U @ Gband[:, c0:c0+bc]
+            u, gsl, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         dwx_ref[j, :] = jnp.sum(m * dv, axis=1)
-        mt = jax.lax.dot_general(  # (128, B) = V @ Gband^T
-            v, gband[:], (((1,), (1,)), ((), ())),
+        mt = jax.lax.dot_general(  # (128, B) = V @ Gband[:, c0:c0+bc]^T
+            v, gsl, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         dwy_ref[j, :] = jnp.sum(mt * du, axis=1)
 
 
-def _banded_bwd_call(xs32, ys32, r0, g, sensor_size, window_size):
+def _banded_bwd_call(xs32, ys32, r0c0, g, sensor_size, window_size, bc):
     H, W = sensor_size
     hw = window_size // 2
     hpad = _hpad(H)
@@ -283,7 +335,7 @@ def _banded_bwd_call(xs32, ys32, r0, g, sensor_size, window_size):
     ysr = ysr.reshape(n_chunks * _SUBROWS, _LANES)
     gpad = jnp.zeros((hpad, wpad), jnp.float32).at[:H, :W].set(g)
 
-    kernel = partial(_bwd_kernel, w=wpad, hw=hw)
+    kernel = partial(_bwd_kernel, w=wpad, hw=hw, bc=bc)
     spec_ev = pl.BlockSpec(
         (_SUBROWS, _LANES), lambda i, r0_ref: (i, 0), memory_space=pltpu.VMEM
     )
@@ -309,56 +361,91 @@ def _banded_bwd_call(xs32, ys32, r0, g, sensor_size, window_size):
             jax.ShapeDtypeStruct((n_chunks * _SUBROWS, _LANES), jnp.float32),
             jax.ShapeDtypeStruct((n_chunks * _SUBROWS, _LANES), jnp.float32),
         ),
-    )(r0, xsr, ysr, gpad)
+    )(r0c0, xsr, ysr, gpad)
     return dwx.reshape(-1)[:n], dwy.reshape(-1)[:n]
 
 
 # ----------------------------------------------------------- public entry
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def events_to_pdf_frame_pallas_banded(
     xs: jax.Array,
     ys: jax.Array,
     sensor_size: Tuple[int, int],
     window_size: int = 3,
+    try_col_band: bool = False,
 ) -> jax.Array:
     """Banded-splat IWE; falls back to the full-height kernel when the
-    banding precondition does not hold (see module docstring)."""
-    out, _ = _fwd(xs, ys, sensor_size, window_size)
+    banding precondition does not hold (see module docstring).
+
+    With `try_col_band` (wants tile-sorted staging,
+    data/staging.py `tile_sort_events`) the contraction additionally
+    restricts columns to a _BC-wide band — B*BC instead of B*W MACs/event —
+    degrading gracefully: column band -> row band -> full height.
+    """
+    out, _ = _fwd(xs, ys, sensor_size, window_size, try_col_band)
     return out
 
 
-def _precompute(xs, ys, sensor_size, window_size):
+def _precompute(xs, ys, sensor_size, window_size, try_col_band):
     H, W = sensor_size
     hw = window_size // 2
     hpad = _hpad(H)
-    ys32 = ys.astype(jnp.float32)
-    _, ysr, _ = _pad_chunks(xs.astype(jnp.float32), ys32, _CHUNK)
-    r0, ok = _band_starts(ysr, H, hw, hpad)
-    return r0, ok
+    wpad = _wpad(W)
+    xsr, ysr, n_chunks = _pad_chunks(
+        xs.astype(jnp.float32), ys.astype(jnp.float32), _CHUNK
+    )
+    r0, ok_row = _band_starts(ysr, H, hw, hpad)
+    if try_col_band and wpad > _BC:
+        c0, ok_col = _col_starts(xsr, W, hw, wpad)
+    else:
+        c0 = jnp.zeros_like(r0)
+        ok_col = jnp.asarray(False)
+    r0c0 = jnp.stack([r0, c0], axis=1)  # (n_chunks, 2)
+    return r0c0, ok_row, ok_col
 
 
-def _fwd(xs, ys, sensor_size, window_size):
+def _fwd(xs, ys, sensor_size, window_size, try_col_band):
     xs32 = xs.astype(jnp.float32)
     ys32 = ys.astype(jnp.float32)
-    r0, ok = _precompute(xs32, ys32, sensor_size, window_size)
-    out = jax.lax.cond(
-        ok,
-        lambda: _banded_fwd_call(xs32, ys32, r0, sensor_size, window_size),
-        lambda: events_to_pdf_frame_pallas(xs32, ys32, sensor_size, window_size),
+    r0c0, ok_row, ok_col = _precompute(
+        xs32, ys32, sensor_size, window_size, try_col_band
     )
-    return out, (xs, ys, r0, ok)
+    wpad = _wpad(sensor_size[1])
+    r0c0_row = r0c0.at[:, 1].set(0)
+
+    def row_or_full():
+        return jax.lax.cond(
+            ok_row,
+            lambda: _banded_fwd_call(
+                xs32, ys32, r0c0_row, sensor_size, window_size, bc=wpad
+            ),
+            lambda: events_to_pdf_frame_pallas(
+                xs32, ys32, sensor_size, window_size
+            ),
+        )
+
+    if try_col_band and wpad > _BC:
+        out = jax.lax.cond(
+            ok_row & ok_col,
+            lambda: _banded_fwd_call(
+                xs32, ys32, r0c0, sensor_size, window_size, bc=_BC
+            ),
+            row_or_full,
+        )
+    else:
+        out = row_or_full()
+    return out, (xs, ys, r0c0, ok_row, ok_col)
 
 
-def _bwd(sensor_size, window_size, res, g):
-    xs, ys, r0, ok = res
+def _bwd(sensor_size, window_size, try_col_band, res, g):
+    xs, ys, r0c0, ok_row, ok_col = res
     xs32 = xs.astype(jnp.float32)
     ys32 = ys.astype(jnp.float32)
     g32 = g.astype(jnp.float32)
-
-    def banded():
-        return _banded_bwd_call(xs32, ys32, r0, g32, sensor_size, window_size)
+    wpad = _wpad(sensor_size[1])
+    r0c0_row = r0c0.at[:, 1].set(0)
 
     def full():
         # reuse the full kernel's custom VJP body
@@ -366,7 +453,25 @@ def _bwd(sensor_size, window_size, res, g):
 
         return _bwd_pallas(xs32, ys32, g32, sensor_size, window_size)
 
-    dwx, dwy = jax.lax.cond(ok, banded, full)
+    def row_or_full():
+        return jax.lax.cond(
+            ok_row,
+            lambda: _banded_bwd_call(
+                xs32, ys32, r0c0_row, g32, sensor_size, window_size, bc=wpad
+            ),
+            full,
+        )
+
+    if try_col_band and wpad > _BC:
+        dwx, dwy = jax.lax.cond(
+            ok_row & ok_col,
+            lambda: _banded_bwd_call(
+                xs32, ys32, r0c0, g32, sensor_size, window_size, bc=_BC
+            ),
+            row_or_full,
+        )
+    else:
+        dwx, dwy = row_or_full()
     dwx = jnp.where(jnp.isfinite(dwx), dwx, 0.0).astype(xs.dtype)
     dwy = jnp.where(jnp.isfinite(dwy), dwy, 0.0).astype(ys.dtype)
     return dwx, dwy

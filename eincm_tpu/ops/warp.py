@@ -148,7 +148,9 @@ def _bilinear_axis_weights(
     u = (pix + 0.5) * (coarse_n / full_n) - 0.5
     k = jax.lax.broadcasted_iota(dtype, (pix.shape[0], coarse_n), 1)
     w = jnp.maximum(0.0, 1.0 - jnp.abs(k - u[:, None]))
-    return w / jnp.sum(w, axis=1, keepdims=True)
+    # off-grid (sentinel/padding) events have an all-zero row; guard the
+    # normalization so they interpolate to zero with finite gradients
+    return w / jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-20)
 
 
 def interp_theta_at_events(

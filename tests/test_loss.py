@@ -240,3 +240,81 @@ class TestSolverLoss:
         np.testing.assert_allclose(
             np.asarray(g_lean), np.asarray(g_full), rtol=1e-3, atol=1e-5
         )
+
+
+def test_nan_padded_events_grads_finite(rng):
+    """Regression: NaN padding events (fixed-shape staging / tile sort) must
+    not poison dtheta through the warp VJP (NaN*0 in the interp weights)."""
+    from eincm_tpu.models.loss import (
+        LossParams, LossStatics, compute_window_statics, solver_loss,
+    )
+
+    H = W = 32
+    n, n_pad = 512, 128
+    xs = np.concatenate([
+        rng.integers(0, W, n).astype(np.float32), np.full(n_pad, np.nan, np.float32)
+    ])
+    ys = np.concatenate([
+        rng.integers(0, H, n).astype(np.float32), np.full(n_pad, np.nan, np.float32)
+    ])
+    ts = np.concatenate([
+        rng.uniform(0, 1, n).astype(np.float32), np.full(n_pad, np.nan, np.float32)
+    ])
+    edges = jnp.asarray(rng.uniform(0, 1, (2, H, W)).astype(np.float32))
+    ets = jnp.asarray([0.0, 1.0], jnp.float32)
+    theta = jnp.asarray(rng.normal(0, 1, (4, 4, 2)).astype(np.float32))
+    statics = LossStatics(sensor_size=(H, W), n_pyr_lvls=3)
+    wstat = compute_window_statics(jnp.asarray(xs), jnp.asarray(ys), edges, (H, W))
+
+    val, grad = jax.value_and_grad(solver_loss)(
+        theta, jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(ts), edges, ets,
+        LossParams(20.0, 35.0, 0.001), 0, statics, wstat,
+    )
+    assert np.isfinite(float(val))
+    assert np.all(np.isfinite(np.asarray(grad)))
+
+    # the padded window must produce the SAME loss/grad as the unpadded one
+    wstat0 = compute_window_statics(
+        jnp.asarray(xs[:n]), jnp.asarray(ys[:n]), edges, (H, W)
+    )
+    val0, grad0 = jax.value_and_grad(solver_loss)(
+        theta, jnp.asarray(xs[:n]), jnp.asarray(ys[:n]), jnp.asarray(ts[:n]),
+        edges, ets, LossParams(20.0, 35.0, 0.001), 0, statics, wstat0,
+    )
+    np.testing.assert_allclose(float(val), float(val0), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(grad), np.asarray(grad0), rtol=1e-4, atol=1e-6
+    )
+
+
+def test_tile_sorted_events_same_loss(rng):
+    """tile_sort_events is value-preserving for the loss (permutation +
+    NaN padding invariance)."""
+    from eincm_tpu.data.staging import tile_sort_events
+    from eincm_tpu.models.loss import (
+        LossParams, LossStatics, compute_window_statics, solver_loss,
+    )
+
+    H = W = 32
+    n = 700
+    xs = rng.integers(0, W, n).astype(np.float32)
+    ys = rng.integers(0, H, n).astype(np.float32)
+    ts = rng.uniform(0, 1, n).astype(np.float32)
+    ps = rng.integers(0, 2, n).astype(bool)
+    edges = jnp.asarray(rng.uniform(0, 1, (2, H, W)).astype(np.float32))
+    ets = jnp.asarray([0.0, 1.0], jnp.float32)
+    theta = jnp.asarray(rng.normal(0, 1, (4, 4, 2)).astype(np.float32))
+    statics = LossStatics(sensor_size=(H, W), n_pyr_lvls=3)
+    params = LossParams(20.0, 35.0)
+
+    def loss(x_, y_, t_):
+        w = compute_window_statics(jnp.asarray(x_), jnp.asarray(y_), edges, (H, W))
+        return solver_loss(
+            theta, jnp.asarray(x_), jnp.asarray(y_), jnp.asarray(t_),
+            edges, ets, params, 0, statics, w,
+        )
+
+    a = float(loss(xs, ys, ts))
+    tx, ty, tt, _ = tile_sort_events(xs, ys, ts, ps, H)
+    b = float(loss(tx, ty, tt))
+    np.testing.assert_allclose(a, b, rtol=1e-5)
