@@ -27,18 +27,26 @@ def main():
     # DSEC-scale workload: 480x640 sensor, 1.5M events, 2 reference times
     # (run.sh:99-121 des_n_events=1500000). This is the solver's hot path:
     # coarse theta -> fused bilinear interp + warp -> banded MXU splat per
-    # reference. Events arrive row-sorted, matching the production staging
-    # (stage_datasample(sort_by_row=True)), so the row-banded kernel engages;
-    # it auto-falls-back to the full-height kernel when banding is invalid.
-    set_splat_impl("pallas_banded")
+    # reference. Events arrive tile-sorted (the DSEC-scale staging mode),
+    # so the row+column-banded kernel engages; it degrades gracefully to the
+    # row-banded and full-height kernels when banding is invalid.
+    set_splat_impl("pallas_banded2d")
     H, W = 480, 640
     n_events = 1_500_000
     n_refs = 2
 
     rng = np.random.default_rng(0)
-    xs = jnp.asarray(rng.integers(0, W, n_events).astype(np.float32))
-    ys = jnp.asarray(np.sort(rng.integers(0, H, n_events)).astype(np.float32))
-    ts = jnp.asarray(rng.uniform(0, 1, n_events).astype(np.float32))
+    from eincm_tpu.data.staging import tile_sort_events
+
+    xs0 = rng.integers(0, W, n_events).astype(np.float32)
+    ys0 = rng.integers(0, H, n_events).astype(np.float32)
+    ts0 = rng.uniform(0, 1, n_events).astype(np.float32)
+    xs_t, ys_t, ts_t, _ = tile_sort_events(
+        xs0, ys0, ts0, np.zeros(n_events, bool), H
+    )
+    xs = jnp.asarray(xs_t)
+    ys = jnp.asarray(ys_t)
+    ts = jnp.asarray(ts_t)
     t_refs = jnp.asarray(np.linspace(0, 1, n_refs).astype(np.float32))
     theta = jnp.asarray(rng.normal(0, 4, (16, 16, 2)).astype(np.float32))
 
