@@ -216,6 +216,10 @@ class ExperimentConfig:
     seed: int = 0
     # raw jax.config flags applied at startup (reference: configs/jax_config/)
     jax_config: Dict[str, Any] = field(default_factory=dict)
+    # matplotlib rcParams applied before the PLOT phase (reference:
+    # configs/mpl_rcparams/{default,paper,video}.yaml, applied by
+    # src/experiments/e00/__main__.py:29-31)
+    mpl_rcparams: Dict[str, Any] = field(default_factory=dict)
     # persistent XLA compilation cache (the reference ships this commented
     # out, configs/jax_config/default.yaml:3-7); None disables
     compilation_cache_dir: Optional[str] = None

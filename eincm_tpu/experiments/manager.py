@@ -453,6 +453,12 @@ class EINCMExperiment:
     def run_plot(self, opt_results_path=None, eval_results_path=None):
         from eincm_tpu.experiments.plotters import EINCMExperimentPlotter
 
+        if self.cfg.mpl_rcparams:
+            # reference: mpl_rcparams config group applied before plotting
+            # (src/experiments/e00/__main__.py:29-31)
+            import matplotlib
+
+            matplotlib.rcParams.update(self.cfg.mpl_rcparams)
         if opt_results_path is not None:
             self.opt_results = EINCMOutputLoader().load_opt_results(
                 opt_results_path

@@ -50,7 +50,13 @@ _INV_SQRT_2PI = 1.0 / math.sqrt(2.0 * math.pi)
 
 _B = 128  # band rows (and the window-advance quantum)
 _A_MAX = 4  # max window advances per chunk (validity-checked in XLA)
-_BC = 256  # column band width (lane-aligned), used with tile-sorted staging
+# Column band width candidates, tried narrowest first (used with tile-sorted
+# staging). Band starts must be 128-lane-aligned for the VMEM accumulator
+# slice, so a candidate only validates when every chunk's splat columns fit
+# inside one aligned bc-wide window: a 128 candidate guarantees just 1 usable
+# column past the alignment floor and was measured to never validate globally
+# (any chunk straddling an alignment boundary kills it) — 256 is the floor.
+_BCS = (256,)
 
 
 def _hpad(h: int) -> int:
@@ -70,7 +76,7 @@ def _fwd_kernel(r0_ref, wx_ref, wy_ref, out_ref, acc, cur_ref, sem, *, w, hw, n_
     """Forward splat over a (B, bc) band per chunk.
 
     `bc == w` is the row-banded configuration (column offsets are all zero);
-    `bc == _BC` additionally restricts the columns to a 128-aligned band
+    `bc < w` additionally restricts the columns to a 128-aligned band
     whose start arrives with the row offsets in the prefetched (n, 2) array
     — valid when events are tile-sorted (data/staging.py tile_sort_events).
     """
@@ -202,12 +208,16 @@ def _band_starts(wy_r: jax.Array, h: int, hw: int, hpad: int):
     return r0, ok_rows & ok_adv
 
 
-def _col_starts(wx_r: jax.Array, w: int, hw: int, wpad: int):
-    """Per-chunk 128-aligned column-band starts + validity flag (XLA).
+def _col_starts(wx_r: jax.Array, w: int, hw: int, wpad: int, bcs):
+    """Per-chunk 128-aligned column-band starts + validity flags (XLA).
 
     Unlike rows, columns need no sliding window (the accumulator spans the
-    full width) — c0 is absolute per chunk. Valid when tile-sorted staging
-    keeps every chunk's in-sensor splat columns inside one _BC-wide band.
+    full width) — c0 is absolute per chunk. A candidate width `bc` is valid
+    when tile-sorted staging keeps every chunk's in-sensor splat columns
+    inside one bc-wide band.
+
+    Returns:
+        (c0s (n_chunks, len(bcs)) int32, oks (len(bcs),) bool)
     """
     rx = jnp.round(wx_r)
     col_lo = rx - hw
@@ -216,16 +226,21 @@ def _col_starts(wx_r: jax.Array, w: int, hw: int, wpad: int):
 
     big = jnp.float32(1e9)
     cmin = jnp.min(jnp.where(inside, col_lo, big), axis=1)
-    c0 = jnp.clip(cmin, 0, wpad - _BC)
-    c0 = (c0 / _LANES).astype(jnp.int32) * _LANES
-
     lo_eff = jnp.maximum(col_lo, 0)
     hi_eff = jnp.minimum(col_hi, jnp.float32(w - 1))
-    c0f = c0.astype(jnp.float32)[:, None]
-    ok_cols = jnp.all(
-        jnp.where(inside, (lo_eff >= c0f) & (hi_eff < c0f + _BC), True)
-    )
-    return c0, ok_cols
+
+    c0s, oks = [], []
+    for bc in bcs:
+        c0 = jnp.clip(cmin, 0, wpad - bc)
+        c0 = (c0 / _LANES).astype(jnp.int32) * _LANES
+        c0f = c0.astype(jnp.float32)[:, None]
+        oks.append(
+            jnp.all(
+                jnp.where(inside, (lo_eff >= c0f) & (hi_eff < c0f + bc), True)
+            )
+        )
+        c0s.append(c0)
+    return jnp.stack(c0s, axis=1), jnp.stack(oks)
 
 
 def _banded_fwd_call(xs, ys, r0c0, sensor_size, window_size, bc):
@@ -381,11 +396,17 @@ def events_to_pdf_frame_pallas_banded(
 
     With `try_col_band` (wants tile-sorted staging,
     data/staging.py `tile_sort_events`) the contraction additionally
-    restricts columns to a _BC-wide band — B*BC instead of B*W MACs/event —
+    restricts columns to a narrow band (width candidates _BCS, narrowest
+    valid one wins) — B*BC instead of B*W MACs/event —
     degrading gracefully: column band -> row band -> full height.
     """
     out, _ = _fwd(xs, ys, sensor_size, window_size, try_col_band)
     return out
+
+
+def _col_candidates(wpad: int):
+    """Column-band widths worth trying for a given padded sensor width."""
+    return tuple(bc for bc in _BCS if bc < wpad)
 
 
 def _precompute(xs, ys, sensor_size, window_size, try_col_band):
@@ -397,25 +418,32 @@ def _precompute(xs, ys, sensor_size, window_size, try_col_band):
         xs.astype(jnp.float32), ys.astype(jnp.float32), _CHUNK
     )
     r0, ok_row = _band_starts(ysr, H, hw, hpad)
-    if try_col_band and wpad > _BC:
-        c0, ok_col = _col_starts(xsr, W, hw, wpad)
+    bcs = _col_candidates(wpad) if try_col_band else ()
+    if bcs:
+        c0s, ok_cols = _col_starts(xsr, W, hw, wpad, bcs)
     else:
-        c0 = jnp.zeros_like(r0)
-        ok_col = jnp.asarray(False)
-    r0c0 = jnp.stack([r0, c0], axis=1)  # (n_chunks, 2)
-    return r0c0, ok_row, ok_col
+        c0s = jnp.zeros((r0.shape[0], 0), r0.dtype)
+        ok_cols = jnp.zeros((0,), jnp.bool_)
+    return r0, c0s, ok_row, ok_cols
 
 
 def _fwd(xs, ys, sensor_size, window_size, try_col_band):
     xs32 = xs.astype(jnp.float32)
     ys32 = ys.astype(jnp.float32)
-    r0c0, ok_row, ok_col = _precompute(
+    r0, c0s, ok_row, ok_cols = _precompute(
         xs32, ys32, sensor_size, window_size, try_col_band
     )
     wpad = _wpad(sensor_size[1])
-    r0c0_row = r0c0.at[:, 1].set(0)
+    bcs = _col_candidates(wpad) if try_col_band else ()
+
+    def col_call(j):
+        r0c0 = jnp.stack([r0, c0s[:, j]], axis=1)
+        return lambda: _banded_fwd_call(
+            xs32, ys32, r0c0, sensor_size, window_size, bc=bcs[j]
+        )
 
     def row_or_full():
+        r0c0_row = jnp.stack([r0, jnp.zeros_like(r0)], axis=1)
         return jax.lax.cond(
             ok_row,
             lambda: _banded_fwd_call(
@@ -426,26 +454,23 @@ def _fwd(xs, ys, sensor_size, window_size, try_col_band):
             ),
         )
 
-    if try_col_band and wpad > _BC:
-        out = jax.lax.cond(
-            ok_row & ok_col,
-            lambda: _banded_fwd_call(
-                xs32, ys32, r0c0, sensor_size, window_size, bc=_BC
-            ),
-            row_or_full,
+    # narrowest valid column band first, then row band, then full height
+    out = row_or_full
+    for j in reversed(range(len(bcs))):
+        out = partial(
+            jax.lax.cond, ok_row & ok_cols[j], col_call(j), out
         )
-    else:
-        out = row_or_full()
-    return out, (xs, ys, r0c0, ok_row, ok_col)
+    out = out()
+    return out, (xs, ys, r0, c0s, ok_row, ok_cols)
 
 
 def _bwd(sensor_size, window_size, try_col_band, res, g):
-    xs, ys, r0c0, ok_row, ok_col = res
+    xs, ys, r0, c0s, ok_row, ok_cols = res
     xs32 = xs.astype(jnp.float32)
     ys32 = ys.astype(jnp.float32)
     g32 = g.astype(jnp.float32)
     wpad = _wpad(sensor_size[1])
-    r0c0_row = r0c0.at[:, 1].set(0)
+    bcs = _col_candidates(wpad) if try_col_band else ()
 
     def full():
         # reuse the full kernel's custom VJP body
@@ -453,7 +478,14 @@ def _bwd(sensor_size, window_size, try_col_band, res, g):
 
         return _bwd_pallas(xs32, ys32, g32, sensor_size, window_size)
 
+    def col_call(j):
+        r0c0 = jnp.stack([r0, c0s[:, j]], axis=1)
+        return lambda: _banded_bwd_call(
+            xs32, ys32, r0c0, g32, sensor_size, window_size, bc=bcs[j]
+        )
+
     def row_or_full():
+        r0c0_row = jnp.stack([r0, jnp.zeros_like(r0)], axis=1)
         return jax.lax.cond(
             ok_row,
             lambda: _banded_bwd_call(
@@ -462,16 +494,12 @@ def _bwd(sensor_size, window_size, try_col_band, res, g):
             full,
         )
 
-    if try_col_band and wpad > _BC:
-        dwx, dwy = jax.lax.cond(
-            ok_row & ok_col,
-            lambda: _banded_bwd_call(
-                xs32, ys32, r0c0, g32, sensor_size, window_size, bc=_BC
-            ),
-            row_or_full,
+    dwx_dwy = row_or_full
+    for j in reversed(range(len(bcs))):
+        dwx_dwy = partial(
+            jax.lax.cond, ok_row & ok_cols[j], col_call(j), dwx_dwy
         )
-    else:
-        dwx, dwy = row_or_full()
+    dwx, dwy = dwx_dwy()
     dwx = jnp.where(jnp.isfinite(dwx), dwx, 0.0).astype(xs.dtype)
     dwy = jnp.where(jnp.isfinite(dwy), dwy, 0.0).astype(ys.dtype)
     return dwx, dwy

@@ -128,8 +128,12 @@ class TestExperimentRun:
         cfg = tiny_cfg(tmp_path)
         cfg.phases.plot = True
         cfg.solver.collect_intermediate = True  # enables per-step figures
+        cfg.mpl_rcparams = {"figure.dpi": 72}  # reference mpl_rcparams group
         exp = EINCMExperiment(cfg)
         exp.run()
+        import matplotlib
+
+        assert matplotlib.rcParams["figure.dpi"] == 72
         pngs = list((exp.out_dir / "plots").glob("end_result_*.png"))
         assert len(pngs) == 3
         assert (exp.out_dir / "plots" / "seq_aee.png").exists()
