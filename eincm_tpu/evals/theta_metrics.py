@@ -123,6 +123,16 @@ def evaluate_theta_array(
     has_gt = gt_flow is not None
     has_mask = err_eval_event_mask is not None
     dtype = theta_array.dtype
+    # Bucket-pad the eval events to a multiple of 8192 with NaNs: the raw
+    # eval slices vary in length per window and would recompile the jitted
+    # bundle every time (padded events are sanitized away by every consumer).
+    e = eval_xs.shape[0]
+    bucket = max(8192, -(-e // 8192) * 8192)
+    if e < bucket:
+        fill = jnp.full((bucket - e,), jnp.nan, dtype)
+        eval_xs = jnp.concatenate([eval_xs.astype(dtype), fill])
+        eval_ys = jnp.concatenate([eval_ys.astype(dtype), fill])
+        eval_ts = jnp.concatenate([eval_ts.astype(dtype), fill])
     if gt_flow is None:
         gt_flow = jnp.zeros((1, 1, 2), dtype)
     if err_eval_event_mask is None:

@@ -105,10 +105,16 @@ class EINCMExperiment:
         return False
 
     def stage(self, datasample) -> StagedSample:
+        # NaN-pad every window to the configured event count: loaders can
+        # come up short at sequence boundaries (the reference's unhandled
+        # "corner case", dsec_loader.py:297-306), and one odd shape would
+        # force a full solve/eval recompile (~minutes on TPU). Padded events
+        # contribute exactly nothing, so this is value-preserving.
         return stage_datasample(
             datasample,
             edge_fn=self.edge_fn,
             preprocess=self.cfg.edge.enable_image_preprocessing,
+            pad_to=self.cfg.dataset.des_n_events,
             sort_by_row=self._sort_by_row,
             sort_by_tile=self._sort_by_tile,
         )
@@ -132,7 +138,42 @@ class EINCMExperiment:
         indices = [i for i in range(n) if not self._skip_idx(i)]
         from eincm_tpu.data.prefetch import StagingPrefetcher
 
-        prefetcher = StagingPrefetcher(dl, indices, self.stage, depth=2)
+        def finalize(idx, res):
+            """Materialize one window's results on the host (blocks until the
+            device finishes it; the NEXT window is already enqueued by then,
+            so the readback rides behind its execution)."""
+            nonlocal n_done
+            rec = solve_result_to_record(res)
+            self.opt_results[f"datasample_idx_{idx}"] = rec
+            n_done += 1
+            dt = time.perf_counter() - t_begin
+            states = rec["solver_final_results"]["theta_opt_state_pyr"]
+            f0 = float(states["pyr_lvl_0"]["fun_val"])
+            iters = [
+                int(states[f"pyr_lvl_{i}"]["iter_num"])
+                for i in range(len(states))
+            ]
+            log(
+                f"[{idx + 1}/{n}] solved (f={f0:.4f}, iters={iters}, "
+                f"avg {dt / n_done:.1f}s/window)"
+            )
+            if n_done % ckpt_every == 0:
+                self.save_checkpoint(idx, n)
+
+        def stage_for_solve(ds):
+            # transfer the solver inputs host->device inside the prefetch
+            # worker thread, so the copies overlap the previous window's
+            # device compute instead of blocking the dispatch
+            import jax
+
+            staged = self.stage(ds)
+            return staged._replace(window=jax.device_put(staged.window))
+
+        # One-window readback lag: dispatch window i+1 (async, queues on
+        # device behind i via the prior-pyramid dependency) BEFORE fetching
+        # window i's results, so host transfers overlap device compute.
+        prefetcher = StagingPrefetcher(dl, indices, stage_for_solve, depth=2)
+        pending = None
         for idx, staged in prefetcher:
             for _ in range(self.cfg.phases.n_repeat_solve):
                 res = self.window_solver(
@@ -141,18 +182,11 @@ class EINCMExperiment:
                 self._prior_pyr = res.final_theta_pyr
                 self._is_first = False
 
-            self.opt_results[f"datasample_idx_{idx}"] = solve_result_to_record(res)
-            n_done += 1
-            dt = time.perf_counter() - t_begin
-            states = res.theta_opt_states
-            log(
-                f"[{idx + 1}/{n}] solved "
-                f"(f={float(states[0].fun_val):.4f}, "
-                f"iters={[int(s.iter_num) for s in states]}, "
-                f"avg {dt / n_done:.1f}s/window)"
-            )
-            if n_done % ckpt_every == 0:
-                self.save_checkpoint(idx, n)
+            if pending is not None:
+                finalize(*pending)
+            pending = (idx, res)
+        if pending is not None:
+            finalize(*pending)
 
         validate_opt_results(self.opt_results, self.solver_cfg.n_pyr_lvls)
         save_opt_results(
@@ -308,12 +342,14 @@ class EINCMExperiment:
             self.opt_results = loader.load_opt_results(opt_results_path)
         assert self.opt_results, "no opt_results in memory or on disk"
         dl = self._prepare_dataloader()
+        indices = sorted(
+            int(k.replace("datasample_idx_", "")) for k in self.opt_results
+        )
+        from eincm_tpu.data.prefetch import StagingPrefetcher
 
-        for key in sorted(
-            self.opt_results, key=lambda k: int(k.replace("datasample_idx_", ""))
-        ):
-            idx = int(key.replace("datasample_idx_", ""))
-            staged = self.stage(dl[idx])
+        # overlap host staging (edge extraction) with the device evaluations
+        for idx, staged in StagingPrefetcher(dl, indices, self.stage, depth=2):
+            key = f"datasample_idx_{idx}"
             theta_full = self._final_theta_full(idx)
 
             gt = staged.gt_flow

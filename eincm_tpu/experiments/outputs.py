@@ -44,7 +44,15 @@ def _pyr_dict(arrays) -> Dict[str, np.ndarray]:
 
 
 def solve_result_to_record(res: SolveResult) -> Dict:
-    """Convert an on-device SolveResult into the npz record layout."""
+    """Convert an on-device SolveResult into the npz record layout.
+
+    The whole result pytree is fetched in ONE device_get — the naive
+    per-field np.asarray conversion paid one host round-trip per leaf
+    (~50 per window), which dominates wall-clock on a relayed backend.
+    """
+    import jax
+
+    res = jax.device_get(res)
     opt_states = {
         f"pyr_lvl_{i}": {
             "fun_val": np.asarray(s.fun_val),

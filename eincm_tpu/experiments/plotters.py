@@ -33,9 +33,12 @@ def construct_event_frame(
     (reference: plotters.py:174-225)."""
     h, w = sensor_size
     frame = np.full((h, w, 3), 255, np.uint8)
-    xi = np.clip(np.round(np.asarray(xs)).astype(int), 0, w - 1)
-    yi = np.clip(np.round(np.asarray(ys)).astype(int), 0, h - 1)
-    pol = np.asarray(ps, bool)
+    xs = np.asarray(xs, np.float64)
+    ys = np.asarray(ys, np.float64)
+    fin = np.isfinite(xs) & np.isfinite(ys)  # drop NaN-padded events
+    xi = np.clip(np.round(xs[fin]).astype(int), 0, w - 1)
+    yi = np.clip(np.round(ys[fin]).astype(int), 0, h - 1)
+    pol = np.asarray(ps, bool)[fin]
     if polarity_colors:
         frame[yi[pol], xi[pol]] = (220, 40, 40)
         frame[yi[~pol], xi[~pol]] = (40, 40, 220)
