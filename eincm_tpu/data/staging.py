@@ -41,23 +41,24 @@ def _normalize_img(img: np.ndarray) -> np.ndarray:
     return (img - img.min()) / (img.max() - img.min() + EPSN)
 
 
-def tile_sort_events(xs, ys, ts, ps, sensor_h: int):
+def tile_sort_events(xs, ys, ts, ps, sensor_h: int, tile_h: int = None):
     """Reorder events into (row-block, column)-sorted, block-chunk-padded
     layout for the column-banded splat kernel (ops/splat_banded.py).
 
-    Events are stably sorted by (y // (B/2), x) so every fixed-size kernel
+    Events are stably sorted by (y // tile_h, x) so every fixed-size kernel
     chunk sees a narrow row AND column range; each row-block's event run is
     padded with NaNs to a multiple of the kernel chunk so no chunk straddles
-    two blocks. Blocks are HALF the kernel's row band so the remaining B/2
-    rows absorb the warp-induced row spread. The output length is a static
-    function of the input length (ceil(n/CHUNK)*CHUNK + n_blocks*CHUNK),
-    keeping one compile per sequence. All loss reductions are
-    permutation-invariant and NaN events contribute nothing, so this is
-    value-preserving.
+    two blocks. Blocks default to HALF the kernel's narrowest row band so
+    the remaining rows absorb the warp-induced row spread. The output length
+    is a static function of the input length
+    (ceil(n/CHUNK)*CHUNK + n_blocks*CHUNK), keeping one compile per
+    sequence. All loss reductions are permutation-invariant and NaN events
+    contribute nothing, so this is value-preserving.
     """
-    from eincm_tpu.ops.splat_banded import _B, _CHUNK
+    from eincm_tpu.ops.splat_banded import _CHUNK, _TILE_H
 
-    tile_h = _B // 2
+    if tile_h is None:
+        tile_h = _TILE_H
     n = len(xs)
     nb = -(-sensor_h // tile_h)
     out_len = -(-n // _CHUNK) * _CHUNK + nb * _CHUNK

@@ -460,36 +460,54 @@ def minimize_bounded_scalar(
     bounds: Tuple[float, float],
     maxiter: int = 30,
     record_history: bool = False,
+    n_grid_probes: int = 0,
 ):
     """Bounded scalar minimization via golden-section search, jittable.
 
     Replaces the reference's 1-D L-BFGS-B handover-weight solve
     (src/eincm/solver.py:175-183, 302-347) with a derivative-free bracketing
     method — robust in f32 and free of the host round-trip. The objective is
-    traced twice (one vmapped init over 4 probe points incl. the bounds, one
-    call in the loop body).
+    traced twice (one vmapped init over the probe points incl. the bounds,
+    one call in the loop body).
+
+    Golden-section (like the reference's L-BFGS-B from a single init) only
+    finds the basin it starts in; `n_grid_probes >= 3` first evaluates a
+    uniform grid over the bounds in ONE vmapped batch (cheap on TPU — the
+    probes share a compiled objective) and shrinks the bracket to the best
+    probe's neighbors, making the solve robust to multi-modal handover
+    landscapes.
 
     Returns:
         (x_star, f_star), or ((x_star, f_star), BFGSHistory) with
-        `record_history`: the probe trajectory (4 init probes incl. the
-        bounds, then one probe per iteration) — the on-device equivalent of
-        the reference's handover solver callback collection
+        `record_history`: the probe trajectory (grid/bounds probes, the two
+        interior inits, then one probe per iteration) — the on-device
+        equivalent of the reference's handover solver callback collection
         (src/eincm/callbacks.py:223-364).
     """
     lo, hi = bounds
     invphi = 0.6180339887498949
-    a = jnp.asarray(lo, jnp.float32)
-    b = jnp.asarray(hi, jnp.float32)
+    n_init = max(2, n_grid_probes)
+    xs_init = jnp.linspace(lo, hi, n_init, dtype=jnp.float32)
+    fs_init = jax.vmap(fun)(xs_init)
+    i_init = jnp.argmin(fs_init)
+    # bracket the best probe's basin (the full bounds when n_init == 2)
+    a = xs_init[jnp.maximum(i_init - 1, 0)]
+    b = xs_init[jnp.minimum(i_init + 1, n_init - 1)]
+    fa = fs_init[jnp.maximum(i_init - 1, 0)]
+    fb = fs_init[jnp.minimum(i_init + 1, n_init - 1)]
     c = b - (b - a) * invphi
     d_ = a + (b - a) * invphi
-    fa, fb, fc, fd = jax.vmap(fun)(jnp.stack([a, b, c, d_]))
+    fc, fd = jax.vmap(fun)(jnp.stack([c, d_]))
 
-    cap = 4 + maxiter if record_history else 0
+    cap = n_init + 2 + maxiter if record_history else 0
     hist_xs = jnp.zeros((cap,), a.dtype)
-    hist_fs = jnp.zeros((cap,), fa.dtype)
+    hist_fs = jnp.zeros((cap,), fc.dtype)
     if record_history:
-        hist_xs = hist_xs.at[:4].set(jnp.stack([a, b, c, d_]))
-        hist_fs = hist_fs.at[:4].set(jnp.stack([fa, fb, fc, fd]))
+        hist_xs = hist_xs.at[:n_init].set(xs_init)
+        hist_fs = hist_fs.at[:n_init].set(fs_init)
+        hist_xs = hist_xs.at[n_init : n_init + 2].set(jnp.stack([c, d_]))
+        hist_fs = hist_fs.at[n_init : n_init + 2].set(jnp.stack([fc, fd]))
+    n_pre = n_init + 2
 
     def body(i, carry):
         a, b, c, d_, fc, fd, hx, hf = carry
@@ -516,24 +534,26 @@ def minimize_bounded_scalar(
         fc2 = jnp.where(left, f_probe, keep)
         fd2 = jnp.where(left, keep, f_probe)
         if record_history:
-            hx = hx.at[4 + i].set(probe)
-            hf = hf.at[4 + i].set(f_probe)
+            hx = hx.at[n_pre + i].set(probe)
+            hf = hf.at[n_pre + i].set(f_probe)
         return a2, b2, c2, d2, fc2, fd2, hx, hf
 
+    a0, b0 = a, b  # (fa, fb) belong to THESE points; the loop shrinks a/b
     a, b, c, d_, fc, fd, hist_xs, hist_fs = jax.lax.fori_loop(
         0, maxiter, body, (a, b, c, d_, fc, fd, hist_xs, hist_fs)
     )
     x_star = jnp.where(fc < fd, c, d_)
     f_star = jnp.minimum(fc, fd)
-    # include the (pre-evaluated) endpoints via a consistent argmin so the
-    # returned (x, f) always belong to the same candidate (interior wins
-    # ties, preserving the strict-< preference of the bracketing loop)
-    xs_cand = jnp.stack([x_star, a, b])
-    fs_cand = jnp.stack([f_star, fa, fb])
+    # include the (pre-evaluated) bracket ends and best init probe via a
+    # consistent argmin so the returned (x, f) always belong to the same
+    # candidate (interior wins ties, preserving the strict-< preference of
+    # the bracketing loop)
+    xs_cand = jnp.stack([x_star, a0, b0, xs_init[i_init]])
+    fs_cand = jnp.stack([f_star, fa, fb, fs_init[i_init]])
     i_best = jnp.argmin(fs_cand)
     if record_history:
         hist = BFGSHistory(
-            xs=hist_xs, fs=hist_fs, n=jnp.int32(4 + maxiter)
+            xs=hist_xs, fs=hist_fs, n=jnp.int32(n_pre + maxiter)
         )
         return (xs_cand[i_best], fs_cand[i_best]), hist
     return xs_cand[i_best], fs_cand[i_best]

@@ -70,6 +70,11 @@ class HandoverSettings:
     alpha_handover: float = 0.5
     handover_limits: Tuple[float, float] = (0.0, 1.0)
     init_handover_weight: float = 0.5
+    # >= 3 seeds the golden-section weight solve with one vmapped uniform
+    # grid over the limits (robust to multi-modal handover landscapes,
+    # which a single-basin bracketing solve — or the reference's L-BFGS-B
+    # from one init, src/eincm/solver.py:175-183 — can miss); 0 disables.
+    handover_grid_probes: int = 0
 
 
 @dataclass(frozen=True)
@@ -260,6 +265,7 @@ def _solve_handover_weight(
     out = minimize_bounded_scalar(
         fun, ho.handover_limits, maxiter=maxiter,
         record_history=cfg.collect_intermediate,
+        n_grid_probes=ho.handover_grid_probes,
     )
     if cfg.collect_intermediate:
         (w_star, _), hist = out

@@ -5,12 +5,11 @@ chunk against the whole (H, W) frame: H*W MACs per event. When events arrive
 sorted by (unwarped) sensor row, a chunk's *warped* rows span a narrow range,
 so the contraction only needs a B-row band anchored per chunk:
 
-    MACs/event: B*W   vs   H*W    (3.75x fewer at DSEC scale, B=128, H=480)
+    MACs/event: B*W   vs   H*W    (7.5x fewer at DSEC scale, B=64, H=480)
 
-Design (TODO.md round-1 item, landed round 2):
-  - per-chunk band start rows r0 (8-aligned, monotone via cummax) are
-    computed in XLA from the warped coordinates and passed as a
-    scalar-prefetch argument;
+Design (TODO.md round-1 item, landed round 2; adaptive B landed later):
+  - per-chunk band start rows r0 (8-aligned) are computed in XLA from the
+    warped coordinates and passed as a scalar-prefetch argument;
   - the kernel keeps a 2B-row sliding accumulator in VMEM; the band's
     (B, W) partial products land at a dynamic 8-aligned sublane offset;
   - as the window advances (B-aligned), finished rows are DMA-flushed to the
@@ -18,13 +17,21 @@ Design (TODO.md round-1 item, landed round 2):
     exactly once, plus a step-0 zeroing pass, so no scatter/accumulate in
     HBM is ever needed;
   - the backward kernel DMAs the needed (B, W) slab of the cotangent into
-    VMEM per chunk (skipped when consecutive chunks share a band).
+    VMEM per chunk (skipped when consecutive chunks share a band);
+  - the band height is adaptive: candidates _ROW_BANDS are validated in XLA
+    narrowest-first (the VPU band-weight construction, the kernel's measured
+    bottleneck, scales with B + BC per event), and band starts need NOT be
+    monotone — they may regress up to B rows below the running maximum,
+    which is exactly what the 2B sliding window tolerates. Row flushes stay
+    write-once because no later chunk's band may start below the slid-past
+    rows (validity-checked).
 
 Correctness is guarded, not assumed: the wrapper checks per event that every
-in-sensor splat row falls inside its chunk's band and that the window never
-advances more than A_MAX blocks per chunk; if violated (unsorted events,
-extreme vertical flow) it falls back to the full-height kernel via lax.cond.
-Semantics match `events_to_pdf_frame` exactly (drop at every sensor edge).
+in-sensor splat row falls inside its chunk's band and that band starts never
+regress below the kernel's sliding-window floor; if violated (unsorted
+events, extreme vertical flow) it falls back to a taller band and finally
+the full-height kernel via lax.cond. Semantics match `events_to_pdf_frame`
+exactly (drop at every sensor edge).
 """
 
 from __future__ import annotations
@@ -48,8 +55,16 @@ from eincm_tpu.ops.splat_pallas import (
 
 _INV_SQRT_2PI = 1.0 / math.sqrt(2.0 * math.pi)
 
-_B = 128  # band rows (and the window-advance quantum)
-_A_MAX = 4  # max window advances per chunk (validity-checked in XLA)
+# Band-row candidates, narrowest (cheapest) first. Each is a sliding-window
+# advance quantum; all must be multiples of 8 (sublane alignment).
+# MEASURED (DSEC scale, real TPU): a 64-row candidate is NOT faster than 128
+# (fwd 4.82 vs 4.76 ms, bwd 9.07 vs 8.90) — the kernel is not bound by the
+# row-band weight construction, so narrower rows only buy compile time and
+# earlier fallbacks. Do not re-add 64 without new evidence.
+_ROW_BANDS = (128,)
+# Staging row-tile height (data/staging.py tile_sort_events): half the
+# narrowest band so the remaining rows absorb the warp-induced row spread.
+_TILE_H = _ROW_BANDS[0] // 2
 # Column band width candidates, tried narrowest first (used with tile-sorted
 # staging). Band starts must be 128-lane-aligned for the VMEM accumulator
 # slice, so a candidate only validates when every chunk's splat columns fit
@@ -59,9 +74,9 @@ _A_MAX = 4  # max window advances per chunk (validity-checked in XLA)
 _BCS = (256,)
 
 
-def _hpad(h: int) -> int:
+def _hpad(h: int, b: int) -> int:
     # one spare block above the sensor so the final 2B flush stays in range
-    return (-(-h // _B) + 1) * _B
+    return (-(-h // b) + 1) * b
 
 
 def _wpad(w: int) -> int:
@@ -69,11 +84,20 @@ def _wpad(w: int) -> int:
     return -(-w // _LANES) * _LANES
 
 
+def _a_max(h: int, b: int) -> int:
+    # max window advances per chunk: enough to jump from cur=0 to the
+    # highest reachable cur = hpad - 3b (so ok_adv below never fires for
+    # sorted data of any row distribution)
+    return max(1, (_hpad(h, b) - 3 * b) // b)
+
+
 # --------------------------------------------------------------------- fwd
 
 
-def _fwd_kernel(r0_ref, wx_ref, wy_ref, out_ref, acc, cur_ref, sem, *, w, hw, n_zero_blocks, bc):
-    """Forward splat over a (B, bc) band per chunk.
+def _fwd_kernel(
+    r0_ref, wx_ref, wy_ref, out_ref, acc, cur_ref, sem, *, w, hw, n_zero_blocks, bc, b, a_max
+):
+    """Forward splat over a (b, bc) band per chunk.
 
     `bc == w` is the row-banded configuration (column offsets are all zero);
     `bc < w` additionally restricts the columns to a 128-aligned band
@@ -83,9 +107,9 @@ def _fwd_kernel(r0_ref, wx_ref, wy_ref, out_ref, acc, cur_ref, sem, *, w, hw, n_
     i = pl.program_id(0)
 
     def flush_block():
-        cur = pl.multiple_of(cur_ref[0], _B)
+        cur = pl.multiple_of(cur_ref[0], b)
         dma = pltpu.make_async_copy(
-            acc.at[pl.ds(0, _B), :], out_ref.at[pl.ds(cur, _B), :], sem
+            acc.at[pl.ds(0, b), :], out_ref.at[pl.ds(cur, b), :], sem
         )
         dma.start()
         dma.wait()
@@ -96,8 +120,8 @@ def _fwd_kernel(r0_ref, wx_ref, wy_ref, out_ref, acc, cur_ref, sem, *, w, hw, n_
         # zero the whole HBM output by flushing the (zero) band over it
         for k in range(n_zero_blocks):
             dma = pltpu.make_async_copy(
-                acc.at[pl.ds(0, _B), :],
-                out_ref.at[pl.ds(k * _B, _B), :],
+                acc.at[pl.ds(0, b), :],
+                out_ref.at[pl.ds(k * b, b), :],
                 sem,
             )
             dma.start()
@@ -107,21 +131,21 @@ def _fwd_kernel(r0_ref, wx_ref, wy_ref, out_ref, acc, cur_ref, sem, *, w, hw, n_
     r0 = r0_ref[i, 0]
     c0 = r0_ref[i, 1]
 
-    # advance the sliding window (at most _A_MAX B-row steps per chunk)
-    for _ in range(_A_MAX):
-        @pl.when(r0 > cur_ref[0] + _B)
+    # advance the sliding window (at most a_max b-row steps per chunk)
+    for _ in range(a_max):
+        @pl.when(r0 > cur_ref[0] + b)
         def _adv():
             flush_block()
-            acc[pl.ds(0, _B), :] = acc[pl.ds(_B, _B), :]
-            acc[pl.ds(_B, _B), :] = jnp.zeros((_B, acc.shape[1]), jnp.float32)
-            cur_ref[0] = cur_ref[0] + _B
+            acc[pl.ds(0, b), :] = acc[pl.ds(b, b), :]
+            acc[pl.ds(b, b), :] = jnp.zeros((b, acc.shape[1]), jnp.float32)
+            cur_ref[0] = cur_ref[0] + b
 
-    off = r0 - cur_ref[0]  # in [0, _B], multiple of 8
+    off = r0 - cur_ref[0]  # in [0, b], multiple of 8
     base = r0.astype(jnp.float32)
     cbase = c0.astype(jnp.float32)
 
-    part = jnp.zeros((_B, bc), jnp.float32)
-    gidx = base + jax.lax.broadcasted_iota(jnp.int32, (_B, _LANES), 0).astype(
+    part = jnp.zeros((b, bc), jnp.float32)
+    gidx = base + jax.lax.broadcasted_iota(jnp.int32, (b, _LANES), 0).astype(
         jnp.float32
     )
     widx = cbase + jax.lax.broadcasted_iota(jnp.int32, (_LANES, bc), 1).astype(
@@ -132,7 +156,7 @@ def _fwd_kernel(r0_ref, wx_ref, wy_ref, out_ref, acc, cur_ref, sem, *, w, hw, n_
         cx = wx_ref[j, :]
         ry = jnp.round(cy)
         rx = jnp.round(cx)
-        # U^T: (B, 128) weights for global rows [r0, r0 + B)
+        # U^T: (b, 128) weights for global rows [r0, r0 + b)
         qy = gidx - cy[None, :]
         uy = jnp.where(
             jnp.abs(gidx - ry[None, :]) <= (hw + 0.5),
@@ -150,33 +174,26 @@ def _fwd_kernel(r0_ref, wx_ref, wy_ref, out_ref, acc, cur_ref, sem, *, w, hw, n_
             uy, vx, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-    off = pl.multiple_of(off, 8)  # r0 is 8-aligned, cur is B-aligned
+    off = pl.multiple_of(off, 8)  # r0 is 8-aligned, cur is b-aligned
     if bc == w:
-        acc[pl.ds(off, _B), :] += part
+        acc[pl.ds(off, b), :] += part
     else:
         coff = pl.multiple_of(c0, _LANES)
-        acc[pl.ds(off, _B), pl.ds(coff, bc)] += part
+        acc[pl.ds(off, b), pl.ds(coff, bc)] += part
 
     @pl.when(i == pl.num_programs(0) - 1)
     def _drain():
         flush_block()
-        cur = pl.multiple_of(cur_ref[0] + _B, _B)
+        cur = pl.multiple_of(cur_ref[0] + b, b)
         dma = pltpu.make_async_copy(
-            acc.at[pl.ds(_B, _B), :], out_ref.at[pl.ds(cur, _B), :], sem
+            acc.at[pl.ds(b, b), :], out_ref.at[pl.ds(cur, b), :], sem
         )
         dma.start()
         dma.wait()
 
 
-def _band_starts(wy_r: jax.Array, h: int, hw: int, hpad: int):
-    """Per-chunk 8-aligned monotone band starts + validity flag (XLA).
-
-    Args:
-        wy_r: (n_chunks, chunk) warped row coordinates (NaN = padding).
-
-    Returns:
-        (r0 (n_chunks,) int32, ok () bool)
-    """
+def _row_stats(wy_r: jax.Array, h: int, hw: int):
+    """Shared per-chunk row statistics for band-start candidates (XLA)."""
     ry = jnp.round(wy_r)
     row_lo = ry - hw
     row_hi = ry + hw
@@ -185,26 +202,47 @@ def _band_starts(wy_r: jax.Array, h: int, hw: int, hpad: int):
     big = jnp.float32(1e9)
     lo_eff = jnp.maximum(row_lo, 0)
     hi_eff = jnp.minimum(row_hi, jnp.float32(h - 1))
-    # Lowest monotone band-start sequence that still covers each chunk's
-    # TOP in-sensor row: r0 >= rmax - (B-1), rounded up to 8, cummax'd.
-    # (Anchoring on the chunk MIN row instead breaks under tile sorting,
-    # where min rows regress within a block.) Validity then only needs the
-    # bottom rows to clear r0.
     rmax = jnp.max(jnp.where(inside, hi_eff, -big), axis=1)
-    r0 = jnp.clip(rmax - (_B - 1), 0, hpad - 2 * _B)
-    r0 = -(-r0.astype(jnp.int32) // 8) * 8  # ceil to 8
-    r0 = jax.lax.cummax(r0)
+    any_inside = jnp.any(inside, axis=1)
+    return inside, lo_eff, hi_eff, rmax, any_inside
 
-    # every in-sensor splat row must fall inside its chunk's band
+
+def _band_starts(row_stats, h: int, b: int):
+    """Per-chunk 8-aligned band starts + validity flag for band height b.
+
+    Band starts anchor each chunk at its TOP in-sensor row (r0 >= rmax-(b-1),
+    ceil to 8). They need not be monotone: the kernel's sliding window only
+    requires r0 >= cur, where cur is the running window floor it would reach
+    (the smallest b-multiple >= running_max(r0) - b). Chunks with no
+    in-sensor event inherit the running max so they never constrain cur.
+
+    Returns:
+        (r0 (n_chunks,) int32, ok () bool)
+    """
+    inside, lo_eff, hi_eff, rmax, any_inside = row_stats
+    hpad = _hpad(h, b)
+    r0 = jnp.clip(rmax - (b - 1), 0, hpad - 2 * b)
+    r0 = -(-r0.astype(jnp.int32) // 8) * 8  # ceil to 8
+    m = jax.lax.cummax(jnp.where(any_inside, r0, 0))
+    r0 = jnp.where(any_inside, r0, m)  # empty chunks ride the window
+
+    # the kernel's window floor after each chunk: smallest b-multiple
+    # placing the chunk's band inside [cur, cur + 2b)
+    cur = jnp.maximum(jnp.int32(0), -(-(m - b) // b) * b)
+    # a regressed chunk may anchor anywhere in [cur, its lowest row]: lift
+    # it to the window floor (never triggers an advance, so the cur
+    # trajectory is unchanged) and let the coverage check below decide
+    r0 = jnp.maximum(r0, cur)
+
+    # every in-sensor splat row must fall inside its chunk's band (bands
+    # never start below rows the window has already flushed: r0 >= cur)
     r0f = r0.astype(jnp.float32)[:, None]
     ok_rows = jnp.all(
-        jnp.where(inside, (lo_eff >= r0f) & (hi_eff < r0f + _B), True)
+        jnp.where(inside, (lo_eff >= r0f) & (hi_eff < r0f + b), True)
     )
-    # window advance per chunk bounded by _A_MAX blocks
-    cur = jnp.maximum(jnp.int32(0), (r0 - _B + _B - 1) // _B * _B)  # min cur per chunk
-    cur = jax.lax.cummax(cur)
+    # window advance per chunk bounded by the kernel's unrolled a_max
     prev = jnp.concatenate([jnp.zeros((1,), cur.dtype), cur[:-1]])
-    ok_adv = jnp.all((cur - prev) <= _A_MAX * _B)
+    ok_adv = jnp.all((cur - prev) <= _a_max(h, b) * b)
     return r0, ok_rows & ok_adv
 
 
@@ -243,17 +281,23 @@ def _col_starts(wx_r: jax.Array, w: int, hw: int, wpad: int, bcs):
     return jnp.stack(c0s, axis=1), jnp.stack(oks)
 
 
-def _banded_fwd_call(xs, ys, r0c0, sensor_size, window_size, bc):
+def _banded_fwd_call(xs, ys, r0c0, sensor_size, window_size, b, bc, interpret=False):
     H, W = sensor_size
     hw = window_size // 2
-    hpad = _hpad(H)
+    hpad = _hpad(H, b)
     wpad = _wpad(W)
     xsr, ysr, n_chunks = _pad_chunks(xs, ys, _CHUNK)
     xsr = xsr.reshape(n_chunks * _SUBROWS, _LANES)
     ysr = ysr.reshape(n_chunks * _SUBROWS, _LANES)
 
     kernel = partial(
-        _fwd_kernel, w=wpad, hw=hw, n_zero_blocks=hpad // _B, bc=bc
+        _fwd_kernel,
+        w=wpad,
+        hw=hw,
+        n_zero_blocks=hpad // b,
+        bc=bc,
+        b=b,
+        a_max=_a_max(H, b),
     )
     spec_ev = pl.BlockSpec(
         (_SUBROWS, _LANES), lambda i, r0_ref: (i, 0), memory_space=pltpu.VMEM
@@ -262,9 +306,9 @@ def _banded_fwd_call(xs, ys, r0c0, sensor_size, window_size, bc):
         num_scalar_prefetch=1,
         grid=(n_chunks,),
         in_specs=[spec_ev, spec_ev],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2 * _B, wpad), jnp.float32),
+            pltpu.VMEM((2 * b, wpad), jnp.float32),
             pltpu.SMEM((1,), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
         ],
@@ -273,6 +317,7 @@ def _banded_fwd_call(xs, ys, r0c0, sensor_size, window_size, bc):
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((hpad, wpad), jnp.float32),
+        interpret=interpret,
     )(r0c0, xsr, ysr)
     return out[:H, :W]
 
@@ -280,7 +325,9 @@ def _banded_fwd_call(xs, ys, r0c0, sensor_size, window_size, bc):
 # --------------------------------------------------------------------- bwd
 
 
-def _bwd_kernel(r0_ref, wx_ref, wy_ref, g_ref, dwx_ref, dwy_ref, gband, prev_ref, sem, *, w, hw, bc):
+def _bwd_kernel(
+    r0_ref, wx_ref, wy_ref, g_ref, dwx_ref, dwy_ref, gband, prev_ref, sem, *, w, hw, bc, b
+):
     i = pl.program_id(0)
     r0 = r0_ref[i, 0]
     c0 = r0_ref[i, 1]
@@ -288,7 +335,7 @@ def _bwd_kernel(r0_ref, wx_ref, wy_ref, g_ref, dwx_ref, dwy_ref, gband, prev_ref
     @pl.when((i == 0) | (r0 != prev_ref[0]))
     def _load():
         dma = pltpu.make_async_copy(
-            g_ref.at[pl.ds(pl.multiple_of(r0, 8), _B), :], gband, sem
+            g_ref.at[pl.ds(pl.multiple_of(r0, 8), b), :], gband, sem
         )
         dma.start()
         dma.wait()
@@ -302,7 +349,7 @@ def _bwd_kernel(r0_ref, wx_ref, wy_ref, g_ref, dwx_ref, dwy_ref, gband, prev_ref
     else:
         gsl = gband[:, pl.ds(pl.multiple_of(c0, _LANES), bc)]
 
-    gidx = base + jax.lax.broadcasted_iota(jnp.int32, (_LANES, _B), 1).astype(
+    gidx = base + jax.lax.broadcasted_iota(jnp.int32, (_LANES, b), 1).astype(
         jnp.float32
     )
     widx = cbase + jax.lax.broadcasted_iota(jnp.int32, (_LANES, bc), 1).astype(
@@ -314,7 +361,7 @@ def _bwd_kernel(r0_ref, wx_ref, wy_ref, g_ref, dwx_ref, dwy_ref, gband, prev_ref
         ry = jnp.round(cy)
         rx = jnp.round(cx)
 
-        # u, du: (128, B) band weights for global rows [r0, r0+B)
+        # u, du: (128, b) band weights for global rows [r0, r0+b)
         qy = gidx - cy[:, None]
         inb = jnp.abs(gidx - ry[:, None]) <= (hw + 0.5)
         gy = jnp.exp(-0.5 * qy * qy) * _INV_SQRT_2PI
@@ -332,17 +379,17 @@ def _bwd_kernel(r0_ref, wx_ref, wy_ref, g_ref, dwx_ref, dwy_ref, gband, prev_ref
             preferred_element_type=jnp.float32,
         )
         dwx_ref[j, :] = jnp.sum(m * dv, axis=1)
-        mt = jax.lax.dot_general(  # (128, B) = V @ Gband[:, c0:c0+bc]^T
+        mt = jax.lax.dot_general(  # (128, b) = V @ Gband[:, c0:c0+bc]^T
             v, gsl, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         dwy_ref[j, :] = jnp.sum(mt * du, axis=1)
 
 
-def _banded_bwd_call(xs32, ys32, r0c0, g, sensor_size, window_size, bc):
+def _banded_bwd_call(xs32, ys32, r0c0, g, sensor_size, window_size, b, bc, interpret=False):
     H, W = sensor_size
     hw = window_size // 2
-    hpad = _hpad(H)
+    hpad = _hpad(H, b)
     wpad = _wpad(W)
     n = xs32.shape[0]
     xsr, ysr, n_chunks = _pad_chunks(xs32, ys32, _CHUNK)
@@ -350,7 +397,7 @@ def _banded_bwd_call(xs32, ys32, r0c0, g, sensor_size, window_size, bc):
     ysr = ysr.reshape(n_chunks * _SUBROWS, _LANES)
     gpad = jnp.zeros((hpad, wpad), jnp.float32).at[:H, :W].set(g)
 
-    kernel = partial(_bwd_kernel, w=wpad, hw=hw, bc=bc)
+    kernel = partial(_bwd_kernel, w=wpad, hw=hw, bc=bc, b=b)
     spec_ev = pl.BlockSpec(
         (_SUBROWS, _LANES), lambda i, r0_ref: (i, 0), memory_space=pltpu.VMEM
     )
@@ -360,11 +407,11 @@ def _banded_bwd_call(xs32, ys32, r0c0, g, sensor_size, window_size, bc):
         in_specs=[
             spec_ev,
             spec_ev,
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(spec_ev, spec_ev),
         scratch_shapes=[
-            pltpu.VMEM((_B, wpad), jnp.float32),
+            pltpu.VMEM((b, wpad), jnp.float32),
             pltpu.SMEM((1,), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
         ],
@@ -376,6 +423,7 @@ def _banded_bwd_call(xs32, ys32, r0c0, g, sensor_size, window_size, bc):
             jax.ShapeDtypeStruct((n_chunks * _SUBROWS, _LANES), jnp.float32),
             jax.ShapeDtypeStruct((n_chunks * _SUBROWS, _LANES), jnp.float32),
         ),
+        interpret=interpret,
     )(r0c0, xsr, ysr, gpad)
     return dwx.reshape(-1)[:n], dwy.reshape(-1)[:n]
 
@@ -383,13 +431,14 @@ def _banded_bwd_call(xs32, ys32, r0c0, g, sensor_size, window_size, bc):
 # ----------------------------------------------------------- public entry
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def events_to_pdf_frame_pallas_banded(
     xs: jax.Array,
     ys: jax.Array,
     sensor_size: Tuple[int, int],
     window_size: int = 3,
     try_col_band: bool = False,
+    interpret: bool = False,
 ) -> jax.Array:
     """Banded-splat IWE; falls back to the full-height kernel when the
     banding precondition does not hold (see module docstring).
@@ -398,9 +447,10 @@ def events_to_pdf_frame_pallas_banded(
     data/staging.py `tile_sort_events`) the contraction additionally
     restricts columns to a narrow band (width candidates _BCS, narrowest
     valid one wins) — B*BC instead of B*W MACs/event —
-    degrading gracefully: column band -> row band -> full height.
+    degrading gracefully: narrow band -> taller band -> row band -> full
+    height, ordered by per-event VPU cost (B + BC).
     """
-    out, _ = _fwd(xs, ys, sensor_size, window_size, try_col_band)
+    out, _ = _fwd(xs, ys, sensor_size, window_size, try_col_band, interpret)
     return out
 
 
@@ -409,63 +459,80 @@ def _col_candidates(wpad: int):
     return tuple(bc for bc in _BCS if bc < wpad)
 
 
+def _candidates(h: int, wpad: int, try_col_band: bool):
+    """(b, bc) kernel configurations, cheapest first (VPU cost ∝ b + bc)."""
+    bcs = _col_candidates(wpad) if try_col_band else ()
+    cands = [
+        (b, bc)
+        for b in _ROW_BANDS
+        for bc in tuple(bcs) + (wpad,)
+        if 2 * b < _hpad(h, b)  # degenerate: band taller than the sensor
+    ]
+    return sorted(cands, key=lambda c: c[0] + c[1])
+
+
 def _precompute(xs, ys, sensor_size, window_size, try_col_band):
     H, W = sensor_size
     hw = window_size // 2
-    hpad = _hpad(H)
     wpad = _wpad(W)
     xsr, ysr, n_chunks = _pad_chunks(
         xs.astype(jnp.float32), ys.astype(jnp.float32), _CHUNK
     )
-    r0, ok_row = _band_starts(ysr, H, hw, hpad)
+    stats = _row_stats(ysr, H, hw)
+    r0s, ok_rows = {}, {}
+    for b in _ROW_BANDS:
+        r0s[b], ok_rows[b] = _band_starts(stats, H, b)
     bcs = _col_candidates(wpad) if try_col_band else ()
     if bcs:
         c0s, ok_cols = _col_starts(xsr, W, hw, wpad, bcs)
     else:
-        c0s = jnp.zeros((r0.shape[0], 0), r0.dtype)
+        c0s = jnp.zeros((n_chunks, 0), jnp.int32)
         ok_cols = jnp.zeros((0,), jnp.bool_)
-    return r0, c0s, ok_row, ok_cols
+    return r0s, c0s, ok_rows, ok_cols
 
 
-def _fwd(xs, ys, sensor_size, window_size, try_col_band):
+def _cand_arrays(cand, r0s, c0s, ok_rows, ok_cols, wpad, bcs):
+    b, bc = cand
+    r0 = r0s[b]
+    if bc == wpad:
+        c0 = jnp.zeros_like(r0)
+        ok = ok_rows[b]
+    else:
+        j = bcs.index(bc)
+        c0 = c0s[:, j]
+        ok = ok_rows[b] & ok_cols[j]
+    return jnp.stack([r0, c0], axis=1), ok
+
+
+def _fwd(xs, ys, sensor_size, window_size, try_col_band, interpret=False):
     xs32 = xs.astype(jnp.float32)
     ys32 = ys.astype(jnp.float32)
-    r0, c0s, ok_row, ok_cols = _precompute(
+    r0s, c0s, ok_rows, ok_cols = _precompute(
         xs32, ys32, sensor_size, window_size, try_col_band
     )
     wpad = _wpad(sensor_size[1])
     bcs = _col_candidates(wpad) if try_col_band else ()
 
-    def col_call(j):
-        r0c0 = jnp.stack([r0, c0s[:, j]], axis=1)
-        return lambda: _banded_fwd_call(
-            xs32, ys32, r0c0, sensor_size, window_size, bc=bcs[j]
+    def full():
+        return events_to_pdf_frame_pallas(
+            xs32, ys32, sensor_size, window_size, interpret
         )
 
-    def row_or_full():
-        r0c0_row = jnp.stack([r0, jnp.zeros_like(r0)], axis=1)
-        return jax.lax.cond(
-            ok_row,
-            lambda: _banded_fwd_call(
-                xs32, ys32, r0c0_row, sensor_size, window_size, bc=wpad
-            ),
-            lambda: events_to_pdf_frame_pallas(
-                xs32, ys32, sensor_size, window_size
-            ),
+    out = full
+    for cand in reversed(_candidates(sensor_size[0], wpad, try_col_band)):
+        r0c0, ok = _cand_arrays(cand, r0s, c0s, ok_rows, ok_cols, wpad, bcs)
+        call = partial(
+            _banded_fwd_call,
+            xs32, ys32, r0c0, sensor_size, window_size, cand[0], cand[1],
+            interpret,
         )
-
-    # narrowest valid column band first, then row band, then full height
-    out = row_or_full
-    for j in reversed(range(len(bcs))):
-        out = partial(
-            jax.lax.cond, ok_row & ok_cols[j], col_call(j), out
-        )
+        out = partial(jax.lax.cond, ok, call, out)
     out = out()
-    return out, (xs, ys, r0, c0s, ok_row, ok_cols)
+    return out, (xs, ys, r0s, c0s, ok_rows, ok_cols)
 
 
-def _bwd(sensor_size, window_size, try_col_band, res, g):
-    xs, ys, r0, c0s, ok_row, ok_cols = res
+def _bwd(sensor_size, window_size, try_col_band, interpret, res, g):
+    xs, ys, r0s, c0s, ok_rows, ok_cols = res
     xs32 = xs.astype(jnp.float32)
     ys32 = ys.astype(jnp.float32)
     g32 = g.astype(jnp.float32)
@@ -476,29 +543,17 @@ def _bwd(sensor_size, window_size, try_col_band, res, g):
         # reuse the full kernel's custom VJP body
         from eincm_tpu.ops.splat_pallas import _bwd_pallas
 
-        return _bwd_pallas(xs32, ys32, g32, sensor_size, window_size)
+        return _bwd_pallas(xs32, ys32, g32, sensor_size, window_size, interpret)
 
-    def col_call(j):
-        r0c0 = jnp.stack([r0, c0s[:, j]], axis=1)
-        return lambda: _banded_bwd_call(
-            xs32, ys32, r0c0, g32, sensor_size, window_size, bc=bcs[j]
+    dwx_dwy = full
+    for cand in reversed(_candidates(sensor_size[0], wpad, try_col_band)):
+        r0c0, ok = _cand_arrays(cand, r0s, c0s, ok_rows, ok_cols, wpad, bcs)
+        call = partial(
+            _banded_bwd_call,
+            xs32, ys32, r0c0, g32, sensor_size, window_size, cand[0], cand[1],
+            interpret,
         )
-
-    def row_or_full():
-        r0c0_row = jnp.stack([r0, jnp.zeros_like(r0)], axis=1)
-        return jax.lax.cond(
-            ok_row,
-            lambda: _banded_bwd_call(
-                xs32, ys32, r0c0_row, g32, sensor_size, window_size, bc=wpad
-            ),
-            full,
-        )
-
-    dwx_dwy = row_or_full
-    for j in reversed(range(len(bcs))):
-        dwx_dwy = partial(
-            jax.lax.cond, ok_row & ok_cols[j], col_call(j), dwx_dwy
-        )
+        dwx_dwy = partial(jax.lax.cond, ok, call, dwx_dwy)
     dwx, dwy = dwx_dwy()
     dwx = jnp.where(jnp.isfinite(dwx), dwx, 0.0).astype(xs.dtype)
     dwy = jnp.where(jnp.isfinite(dwy), dwy, 0.0).astype(ys.dtype)

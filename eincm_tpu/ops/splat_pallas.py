@@ -177,7 +177,7 @@ def _bwd_kernel(wx_ref, wy_ref, g_ref, dwx_ref, dwy_ref, *, h, w, hw):
         dwy_ref[j, :] = jnp.sum(mt * du, axis=1)
 
 
-def _bwd_pallas(xs32, ys32, g, sensor_size, window_size):
+def _bwd_pallas(xs32, ys32, g, sensor_size, window_size, interpret=False):
     H, W = sensor_size
     hw = window_size // 2
     n = xs32.shape[0]
@@ -202,6 +202,7 @@ def _bwd_pallas(xs32, ys32, g, sensor_size, window_size):
             jax.ShapeDtypeStruct((n_chunks * _SUBROWS, _LANES), jnp.float32),
             jax.ShapeDtypeStruct((n_chunks * _SUBROWS, _LANES), jnp.float32),
         ),
+        interpret=interpret,
     )(xsr, ysr, g)
     return dwx.reshape(-1)[:n], dwy.reshape(-1)[:n]
 

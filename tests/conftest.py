@@ -15,11 +15,20 @@ if "xla_force_host_platform_device_count" not in flags:
 # must not depend on (or monopolize) the single real TPU chip. The host's
 # sitecustomize force-registers the TPU plugin and resets jax_platforms, so
 # the env var alone is not enough — override the config after import too.
-os.environ["JAX_PLATFORMS"] = "cpu"
+# EINCM_REAL_TPU=1 opts out, enabling the hardware kernel parity tests
+# (tests/test_tpu_kernels.py).
+_real_tpu = os.environ.get("EINCM_REAL_TPU") == "1"
+if not _real_tpu:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+else:
+    # hardware kernel compiles are slow through the relayed backend; cache
+    # them across runs
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/eincm_jax_cache")
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if not _real_tpu:
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -131,6 +131,54 @@ class TestBoundedScalar:
         )
         assert float(fx) <= sres.fun + 1e-5
 
+    def test_multimodal_grid_seeding(self):
+        # broad shallow well near 0.15, narrow DEEP well near 0.85: plain
+        # bracketing (and the reference's single-init L-BFGS-B) converges
+        # to whichever basin the first probes see; grid seeding finds the
+        # global one
+        def f(w):
+            return -0.5 * jnp.exp(-(((w - 0.15) / 0.1) ** 2)) - 1.0 * jnp.exp(
+                -(((w - 0.85) / 0.02) ** 2)
+            )
+
+        x_plain, f_plain = minimize_bounded_scalar(f, (0.0, 1.0), maxiter=40)
+        assert np.isclose(float(x_plain), 0.15, atol=1e-2)  # wrong basin
+        x_grid, f_grid = minimize_bounded_scalar(
+            f, (0.0, 1.0), maxiter=40, n_grid_probes=33
+        )
+        assert np.isclose(float(x_grid), 0.85, atol=1e-3)
+        assert float(f_grid) < float(f_plain) - 0.4
+
+    def test_grid_seeding_unimodal_unchanged(self):
+        def f(w):
+            return (w - 0.3) ** 2
+
+        x, fx = minimize_bounded_scalar(f, (0.0, 1.0), n_grid_probes=9)
+        assert np.isclose(float(x), 0.3, atol=1e-4)
+        # pair consistency holds with a grid too
+        for it in (0, 2, 8):
+            x, fx = minimize_bounded_scalar(
+                f, (0.0, 1.0), maxiter=it, n_grid_probes=9
+            )
+            assert np.isclose(float(fx), float(f(x)), atol=1e-6)
+
+    def test_grid_seeding_history(self):
+        def f(w):
+            return jnp.cos(3 * w)
+
+        (x, fx), hist = minimize_bounded_scalar(
+            f, (0.0, 1.0), maxiter=7, record_history=True, n_grid_probes=5
+        )
+        assert int(hist.n) == 5 + 2 + 7
+        xs = np.asarray(hist.xs)
+        fs = np.asarray(hist.fs)
+        np.testing.assert_allclose(xs[:5], np.linspace(0, 1, 5), atol=1e-6)
+        np.testing.assert_allclose(
+            fs[: int(hist.n)],
+            [float(f(jnp.asarray(v))) for v in xs[: int(hist.n)]],
+            atol=1e-6,
+        )
+
 
 def test_history_recording():
     def f(x):

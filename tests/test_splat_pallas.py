@@ -57,3 +57,108 @@ def test_multi_chunk(rng):
     a = events_to_pdf_frame_pallas(xs, ys, SENSOR, 3, True)
     b = events_to_pdf_frame(xs, ys, SENSOR)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------- banded
+
+BSENSOR = (320, 384)  # tall/wide enough that 128-row + 256-col bands engage
+
+
+def _sorted_events(rng, n, spread=4.0):
+    h, w = BSENSOR
+    ys = np.sort(rng.uniform(0, h - 1, n)).astype(np.float32)
+    xs = rng.uniform(0, w - 1, n).astype(np.float32)
+    wy = jnp.asarray(ys + rng.uniform(-spread, spread, n).astype(np.float32))
+    wx = jnp.asarray(xs + rng.uniform(-spread, spread, n).astype(np.float32))
+    return wx, wy
+
+
+def test_banded_interpret_forward_and_grad(rng):
+    """Row-banded kernel (interpret mode) vs the XLA oracle, incl. VJP."""
+    from eincm_tpu.ops.splat_banded import (
+        _pad_chunks,
+        _precompute,
+        events_to_pdf_frame_pallas_banded,
+    )
+
+    wx, wy = _sorted_events(rng, 40000)
+    # the row band must actually validate, else this test exercises nothing
+    _, _, ok_rows, _ = _precompute(wx, wy, BSENSOR, 3, False)
+    assert bool(ok_rows[128])
+
+    a = events_to_pdf_frame_pallas_banded(wx, wy, BSENSOR, 3, False, True)
+    b = events_to_pdf_frame(wx, wy, BSENSOR)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+    cot = jnp.asarray(rng.normal(0, 1, BSENSOR).astype(np.float32))
+
+    def f_banded(wx, wy):
+        return (
+            events_to_pdf_frame_pallas_banded(wx, wy, BSENSOR, 3, False, True)
+            * cot
+        ).sum()
+
+    def f_xla(wx, wy):
+        return (events_to_pdf_frame(wx, wy, BSENSOR) * cot).sum()
+
+    gx_p, gy_p = jax.grad(f_banded, argnums=(0, 1))(wx, wy)
+    gx_x, gy_x = jax.grad(f_xla, argnums=(0, 1))(wx, wy)
+    np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_x), rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gy_p), np.asarray(gy_x), rtol=1e-3, atol=1e-5)
+
+
+def test_banded2d_interpret_tile_sorted(rng):
+    """Column-banded configuration (tile-sorted staging) in interpret mode."""
+    from eincm_tpu.data.staging import tile_sort_events
+    from eincm_tpu.ops.splat_banded import (
+        _precompute,
+        events_to_pdf_frame_pallas_banded,
+    )
+
+    h, w = BSENSOR
+    n = 100000
+    xs0 = rng.uniform(0, w - 1, n).astype(np.float32)
+    ys0 = rng.uniform(0, h - 1, n).astype(np.float32)
+    ts0 = rng.uniform(0, 1, n).astype(np.float32)
+    xs_t, ys_t, _, _ = tile_sort_events(xs0, ys0, ts0, np.zeros(n, bool), h)
+    wy = np.asarray(ys_t) + rng.uniform(-3, 3, len(ys_t)).astype(np.float32)
+    wx = np.asarray(xs_t) + rng.uniform(-3, 3, len(xs_t)).astype(np.float32)
+    pad = ~np.isfinite(np.asarray(ys_t))
+    wy[pad] = np.nan
+    wx[pad] = np.nan
+    jwx, jwy = jnp.asarray(wx), jnp.asarray(wy)
+
+    _, _, ok_rows, ok_cols = _precompute(jwx, jwy, BSENSOR, 3, True)
+    assert bool(ok_rows[128]) and bool(np.asarray(ok_cols).any())
+
+    a = events_to_pdf_frame_pallas_banded(jwx, jwy, BSENSOR, 3, True, True)
+    b = events_to_pdf_frame(jwx, jwy, BSENSOR)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_banded_band_start_regression(rng):
+    """Non-monotone band starts stay banded: a later chunk whose warped rows
+    regress below the previous chunk's band (but not below the sliding
+    window's floor) must validate — the start is lifted to the window floor
+    — and still match the oracle. A cummax-based start sequence would have
+    rejected this layout (rows 150-160 < cummax'd start 184)."""
+    from eincm_tpu.ops.splat_banded import (
+        _CHUNK,
+        _precompute,
+        events_to_pdf_frame_pallas_banded,
+    )
+
+    h, w = BSENSOR
+    rows = ([245.0] * _CHUNK) + ([305.0] * _CHUNK) + ([155.0] * _CHUNK)
+    n = len(rows)
+    wy = jnp.asarray(
+        np.array(rows, np.float32) + rng.uniform(-4, 4, n).astype(np.float32)
+    )
+    wx = jnp.asarray(rng.uniform(1, w - 2, n).astype(np.float32))
+
+    _, _, ok_rows, _ = _precompute(wx, wy, BSENSOR, 3, False)
+    assert bool(ok_rows[128])
+
+    a = events_to_pdf_frame_pallas_banded(wx, wy, BSENSOR, 3, False, True)
+    b = events_to_pdf_frame(wx, wy, BSENSOR)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
