@@ -27,7 +27,9 @@ _INV_SQRT_2PI = 1.0 / math.sqrt(2.0 * math.pi)
 
 # events per grid step (weights are built 128 events at a time, so VMEM use
 # is ~(H+W)*128*4 + H*W*4 bytes regardless); 4096 measured ~8% faster than
-# 1024 at DSEC scale (amortizes grid-step overhead)
+# 1024 at DSEC scale (amortizes grid-step overhead), and 8192 measured ~6%
+# SLOWER (banded fwd 5.16 vs 4.89 ms) — grid-step overhead is not the
+# remaining bottleneck, so don't raise this further
 _CHUNK = 4096
 
 
