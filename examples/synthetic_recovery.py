@@ -1,5 +1,10 @@
 """Verification drive: full pyramid solve on synthetic events, real TPU."""
+import os
+import sys
 import time
+
+# runnable straight from a checkout: python examples/synthetic_recovery.py
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
