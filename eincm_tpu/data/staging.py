@@ -41,6 +41,25 @@ def _normalize_img(img: np.ndarray) -> np.ndarray:
     return (img - img.min()) / (img.max() - img.min() + EPSN)
 
 
+def _row_sort_perm(ys: np.ndarray) -> np.ndarray:
+    """Stable row-local event permutation for the row-banded splat.
+
+    Uses the native multithreaded counting sort (native/events.cpp) when it
+    built — for the integer-valued rows real loaders produce it yields the
+    IDENTICAL permutation to a stable argsort, in O(n); falls back to numpy
+    argsort otherwise.
+    """
+    try:
+        from eincm_tpu.native import events as ne
+
+        if len(ys) and ne.available() and np.isfinite(ys).all():
+            n_rows = max(1, int(ys.max()) + 1)
+            return ne.sort_events_by_row_perm(ys.astype(np.float32), n_rows)
+    except Exception:
+        pass
+    return np.argsort(ys, kind="stable")
+
+
 def tile_sort_events(xs, ys, ts, ps, sensor_h: int, tile_h: int = None):
     """Reorder events into (row-block, column)-sorted, block-chunk-padded
     layout for the column-banded splat kernel (ops/splat_banded.py).
@@ -150,7 +169,7 @@ def stage_datasample(
     eval_events["t"] = (eval_events["t"] - start_time) / span
 
     if sort_by_row:
-        order = np.argsort(ys, kind="stable")
+        order = _row_sort_perm(ys)
         xs, ys, ts_n, ps = xs[order], ys[order], ts_n[order], ps[order]
 
     # edge extraction (exp_mgr.py:335-350)

@@ -220,17 +220,32 @@ class EINCMExperiment:
         batch_n = -(-n // n_dev) * n_dev
         per_dev = batch_n // n_dev
 
-        # NaN-pad every window to a common fixed event count (padded events
-        # contribute nothing to any splat/mask) so windows stack and shard
+        # NaN-pad every window to ONE fixed event count (padded events
+        # contribute nothing to any splat/mask) so windows stack and shard.
+        # A per-window pad target would produce ragged windows that cannot
+        # stack — the streamed path never sees the whole sequence, so it
+        # cannot discover a global maximum and requires des_n_events.
         pad_to = self.cfg.dataset.des_n_events
+        if not pad_to:
+            raise ValueError(
+                "parallel windows mode requires dataset.des_n_events: the "
+                "streamed sharded batch pads every window to that fixed "
+                "event count (ragged windows cannot stack/shard)"
+            )
 
         def stage_padded(ds):
             actual = len(ds["events"]["x"])
+            if actual > pad_to:
+                raise ValueError(
+                    f"window has {actual} events > des_n_events={pad_to}; "
+                    "the loader must truncate to des_n_events in parallel "
+                    "windows mode"
+                )
             return stage_datasample(
                 ds,
                 edge_fn=self.edge_fn,
                 preprocess=self.cfg.edge.enable_image_preprocessing,
-                pad_to=max(pad_to or 0, actual),
+                pad_to=pad_to,
                 sort_by_row=self._sort_by_row,
                 sort_by_tile=self._sort_by_tile,
             )

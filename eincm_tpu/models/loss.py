@@ -48,18 +48,25 @@ EPSN = sys.float_info.epsilon
 
 
 def _sanitize_events(xs, ys, ts):
-    """Replace NaN padding events by an off-sensor sentinel.
+    """Replace NaN padding events by a FAR off-sensor sentinel.
 
     NaN coordinates are dropped correctly by every forward op, but they
     poison the BACKWARD pass: the warp VJP multiplies zero cotangents by
     NaN interp weights / NaN dts (NaN*0 = NaN) and the contamination reaches
-    dtheta. A finite off-sensor event (x = y = -10, t = 0) contributes zero
-    to every splat/mask/objective — round(-10) is outside every band and
-    every one-hot — while keeping all gradient paths finite. (The opt-in
-    wrap-compat splat would wrap -10; padded events never occur there.)
+    dtheta. A finite off-sensor event (x = y = -1e4, t = 0) contributes zero
+    to every splat/mask/objective while keeping all gradient paths finite.
+
+    The sentinel must sit far beyond any physical flow magnitude: the WARPED
+    coordinate is sentinel - theta*dt, and the theta gathered at the
+    sentinel is arbitrary (negative indices wrap, far-out-of-range clamps),
+    so a near-sensor sentinel (an earlier -10) re-entered the sensor and
+    splatted phantom mass whenever |theta|*dt exceeded ~8.5 px — routine at
+    DSEC flow scales. At -1e4 re-entry would need |theta|*dt ~ 1e4 px.
+    (The opt-in wrap-compat splat only wraps indices in [-n, -1]; -1e4 is
+    beyond it and stays dropped. exp(-0.5*q^2) underflows to 0, not NaN.)
     """
     finite = jnp.isfinite(xs) & jnp.isfinite(ys) & jnp.isfinite(ts)
-    sent = jnp.asarray(-10.0, xs.dtype)
+    sent = jnp.asarray(-1e4, xs.dtype)
     zero = jnp.asarray(0.0, ts.dtype)
     return (
         jnp.where(finite, xs, sent),

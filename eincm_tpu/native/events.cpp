@@ -61,8 +61,13 @@ int64_t rectify_filter_events(const uint16_t* x, const uint16_t* y,
   int64_t per = (n + w - 1) / w;
   std::vector<int64_t> counts(static_cast<size_t>(w) + 1, 0);
 
-  // pass 1: per-worker rectify into the output slots (uncompacted) + count
+  // pass 1: per-worker rectify into a SCRATCH buffer + count. The scratch
+  // (not ox/oy) holds the uncompacted coords: compacting ox/oy in place
+  // across workers races — worker k's destination slots start at the global
+  // prefix counts[k], which lies inside an earlier worker's still-being-read
+  // range whenever any events were dropped.
   std::vector<uint8_t> keep(static_cast<size_t>(n));
+  std::vector<int16_t> rxs(static_cast<size_t>(n)), rys(static_cast<size_t>(n));
   parallel_chunks(n, [&](int wi, int64_t lo, int64_t hi) {
     int64_t c = 0;
     for (int64_t i = lo; i < hi; ++i) {
@@ -73,30 +78,28 @@ int64_t rectify_filter_events(const uint16_t* x, const uint16_t* y,
       long ry = std::lround(m[1]);
       bool ok = rx >= 0 && rx < width && ry >= 0 && ry < height;
       keep[static_cast<size_t>(i)] = ok;
-      ox[i] = static_cast<int16_t>(rx);
-      oy[i] = static_cast<int16_t>(ry);
+      rxs[static_cast<size_t>(i)] = static_cast<int16_t>(rx);
+      rys[static_cast<size_t>(i)] = static_cast<int16_t>(ry);
       c += ok;
     }
     counts[static_cast<size_t>(wi) + 1] = c;
   });
   for (int i = 0; i < w; ++i) counts[i + 1] += counts[i];
 
-  // pass 2: stable compaction into the prefix-summed slots
+  // pass 2: stable compaction into the prefix-summed global slots. Sources
+  // (scratch + the t/p inputs) are never written here and destination
+  // ranges [counts[wi], counts[wi+1]) are disjoint per worker — race-free.
   parallel_chunks(n, [&](int wi, int64_t lo, int64_t hi) {
     int64_t dst = counts[wi];
     for (int64_t i = lo; i < hi; ++i) {
       if (!keep[static_cast<size_t>(i)]) continue;
-      ox[dst] = ox[i];
-      oy[dst] = oy[i];
+      ox[dst] = rxs[static_cast<size_t>(i)];
+      oy[dst] = rys[static_cast<size_t>(i)];
       ot[dst] = t[i];
       op[dst] = p[i];
       ++dst;
     }
   });
-  // NOTE: pass 2 writes ox/oy in place left-to-right; within a worker dst <=
-  // i always (dst starts at counts[wi] <= lo), and workers' ranges are
-  // disjoint with dst ranges strictly left of their read ranges, so the
-  // in-place compaction never overwrites unread input.
   return counts[static_cast<size_t>(w)];
 }
 

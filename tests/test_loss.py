@@ -318,3 +318,62 @@ def test_tile_sorted_events_same_loss(rng):
     tx, ty, tt, _ = tile_sort_events(xs, ys, ts, ps, H)
     b = float(loss(tx, ty, tt))
     np.testing.assert_allclose(a, b, rtol=1e-5)
+
+
+def test_nan_padding_no_phantom_mass_under_large_flow():
+    """Regression: the NaN-padding sentinel must stay off-sensor AFTER the
+    warp. The old near-sensor sentinel (-10) gathered a real (wrapped /
+    clamped) theta and re-entered the sensor whenever |theta|*dt exceeded
+    ~8.5 px, splatting tens of thousands of phantom events at DSEC flow
+    scales. Padded and unpadded windows must produce identical IWEs, with
+    finite gradients."""
+    import jax
+
+    from eincm_tpu.models.loss import _sanitize_events
+    from eincm_tpu.ops.splat import splat_multi_ref
+    from eincm_tpu.ops.warp import warp_events_multi_ref
+
+    H = W = 64
+    rng = np.random.default_rng(3)
+    n = 500
+    xs = rng.integers(4, W - 4, n).astype(np.float32)
+    ys = rng.integers(4, H - 4, n).astype(np.float32)
+    ts = rng.uniform(0, 1, n).astype(np.float32)
+    pad = np.full(512, np.nan, np.float32)
+    t_refs = jnp.asarray([0.0, 1.0], jnp.float32)
+    # large uniform flow: -25 px/unit-time in both axes
+    theta = jnp.full((H, W, 2), -25.0, jnp.float32)
+
+    def iwes(xs, ys, ts):
+        xs, ys, ts = _sanitize_events(
+            jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(ts)
+        )
+        wx, wy = warp_events_multi_ref(theta, xs, ys, ts, t_refs, 1.0)
+        return splat_multi_ref(wx, wy, (H, W))
+
+    ref = iwes(xs, ys, ts)
+    padded = iwes(
+        np.concatenate([xs, pad]),
+        np.concatenate([ys, pad]),
+        np.concatenate([ts, pad]),
+    )
+    np.testing.assert_allclose(np.asarray(padded), np.asarray(ref), atol=1e-5)
+
+    g = jax.grad(
+        lambda th: jnp.sum(
+            splat_multi_ref(
+                *warp_events_multi_ref(
+                    th,
+                    *_sanitize_events(
+                        jnp.asarray(np.concatenate([xs, pad])),
+                        jnp.asarray(np.concatenate([ys, pad])),
+                        jnp.asarray(np.concatenate([ts, pad])),
+                    ),
+                    t_refs,
+                    1.0,
+                ),
+                (H, W),
+            )
+        )
+    )(theta)
+    assert bool(jnp.all(jnp.isfinite(g)))

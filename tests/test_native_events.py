@@ -67,3 +67,32 @@ def test_sort_by_row_matches_argsort():
     perm = ne.sort_events_by_row_perm(ys, 256)
     expect = np.argsort(ys.astype(np.int64), kind="stable")
     np.testing.assert_array_equal(perm, expect)
+
+
+def test_rectify_filter_multiworker_heavy_early_drops():
+    """Regression: with n large enough for multiple workers and most drops
+    concentrated in the FIRST workers' ranges, the in-place pass-2
+    compaction used to race — worker k's destination slots (global prefix
+    counts[k]) lie inside earlier workers' still-being-read ranges. The
+    fixed kernel compacts from a scratch buffer and must match numpy
+    exactly at any worker count."""
+    rng = np.random.default_rng(5)
+    h, w = 48, 64
+    n = (4 << 20) + 12345  # > 4 worker grains of 2^20
+    # x correlated with index: early events land at low columns, which the
+    # map pushes off-sensor -> worker 0 drops nearly everything
+    x = ((np.arange(n) * w) // n).astype(np.uint16)
+    y = rng.integers(0, h, n).astype(np.uint16)
+    t = np.arange(n, dtype=np.int64)
+    p = rng.integers(0, 2, n).astype(np.uint8)
+    gy, gx = np.mgrid[0:h, 0:w].astype(np.float32)
+    m = np.stack([gx, gy], axis=-1)
+    m[:, : w // 3, 0] = -5.0  # first third of the columns rectify off-sensor
+
+    ox, oy, ot, op = ne.rectify_filter_events(x, y, t, p, m, (h, w))
+    ex, ey, et, ep = _numpy_rectify(x, y, t, p, m, (h, w))
+    assert len(ex) < n * 3 // 4  # the drop pattern actually engaged
+    np.testing.assert_array_equal(ox, ex)
+    np.testing.assert_array_equal(oy, ey)
+    np.testing.assert_array_equal(ot, et)
+    np.testing.assert_array_equal(op, ep)
