@@ -28,16 +28,9 @@ from eincm_tpu.ops.splat import event_counts, events_to_pdf_frame
 from eincm_tpu.evals.flow_metrics import sparse_flow_error
 
 
-def per_pix_theta_to_flow(
-    theta: jax.Array, xs: jax.Array, ys: jax.Array, ts: jax.Array
-) -> jax.Array:
-    """Flow displacement field at event pixels with dt == 1.
-
-    Reference: src/utils/theta_utils.py:40-73 — scatter-free (theta masked to
-    event pixels; the scattered value is the local theta itself).
-    """
-    mask = event_counts(xs, ys, (theta.shape[0], theta.shape[1])) > 0
-    return theta * mask[..., None].astype(theta.dtype)
+# re-exported here for the evaluation API; single implementation lives in
+# models/objectives.py (reference: src/utils/theta_utils.py:40-73)
+from eincm_tpu.models.objectives import per_pix_theta_to_flow  # noqa: F401
 
 
 @partial(jax.jit, static_argnames=("sensor_size", "has_gt", "has_mask"))
@@ -67,6 +60,11 @@ def _eval_bundle(
     mean_rel_corr = objs["rel_correlations"].mean()
     mean_rel_iwe_div = objs["rel_iwe_divergences"].mean()
     tot_var = objs["theta_total_variation"]
+    # NOTE: UNWEIGHTED means, exactly like the reference eval
+    # (src/evaluations/theta_eval.py:27-42) — the reference's solver loss
+    # applies multi_ref_weights (losses.py:176-193) but its eval loss does
+    # not, so for n_refs > 1 this reported loss deliberately differs from
+    # the optimized objective by the same factor the reference's does.
     loss = (
         pvec[0] * (-mean_rel_contrast)
         + pvec[1] * (-mean_rel_corr)

@@ -49,6 +49,7 @@ class _WolfeState(NamedTuple):
     a_prev: jax.Array
     phi_prev: jax.Array
     dphi_prev: jax.Array
+    g_prev: jax.Array  # gradient at a_prev (keeps the lo triple consistent)
     a_lo: jax.Array
     phi_lo: jax.Array
     dphi_lo: jax.Array
@@ -126,6 +127,7 @@ def _strong_wolfe(
                 return s._replace(
                     stage=jnp.int32(1),
                     a_lo=s.a_prev, phi_lo=s.phi_prev, dphi_lo=s.dphi_prev,
+                    g_lo=s.g_prev,
                     a_hi=a, phi_hi=phi, dphi_hi=dphi,
                 )
 
@@ -145,7 +147,7 @@ def _strong_wolfe(
             def extend(s):
                 better = phi < s.phi_lo
                 return s._replace(
-                    a_prev=a, phi_prev=phi, dphi_prev=dphi,
+                    a_prev=a, phi_prev=phi, dphi_prev=dphi, g_prev=g,
                     a_next=jnp.minimum(2.0 * a, jnp.asarray(1e3, dtype)),
                     first=jnp.bool_(False),
                     a_lo=jnp.where(better, a, s.a_lo),
@@ -189,7 +191,7 @@ def _strong_wolfe(
 
     init = _WolfeState(
         stage=jnp.int32(0),
-        a_prev=zero, phi_prev=phi0, dphi_prev=dphi0,
+        a_prev=zero, phi_prev=phi0, dphi_prev=dphi0, g_prev=g0,
         a_lo=zero, phi_lo=phi0, dphi_lo=dphi0, g_lo=g0,
         a_hi=zero, phi_hi=phi0, dphi_hi=dphi0,
         a_next=alpha1,

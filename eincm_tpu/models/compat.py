@@ -109,6 +109,9 @@ class ScipyMinimize:
                         x=hist.xs[k].reshape(shape), fun=hist.fs[k]
                     )
                 )
+        # scipy's options={'return_all': True} exposes allvecs on the result;
+        # here the recorded trajectory lands on the solver object
+        self.history = hist
         state = res._replace(x=res.x.reshape(shape))
         return OptStep(params=state.x, state=state)
 

@@ -171,7 +171,10 @@ def events_to_pdf_frame(
     H, W = sensor_size
     hw = window_size // 2
     wrap = _SPLAT_WRAP_COMPAT
-    on_tpu = jax.default_backend() == "tpu"
+    # the Pallas kernels accumulate in f32; honor an x64 caller's dtype
+    # contract by staying on the XLA path (TPUs have no fast f64 anyway)
+    f64 = jnp.result_type(xs.dtype, jnp.float32) == jnp.float64
+    on_tpu = jax.default_backend() == "tpu" and not f64
     if not wrap and _SPLAT_IMPL == "pallas" and on_tpu:
         from eincm_tpu.ops.splat_pallas import events_to_pdf_frame_pallas
 
@@ -250,7 +253,8 @@ def splat_multi_ref(
     vmap for the grid-batchable kernels; an unrolled loop for the banded
     kernel (its scalar-prefetch grid spec does not batch under vmap, and
     n_refs is a small static constant)."""
-    on_tpu = jax.default_backend() == "tpu"
+    f64 = jnp.result_type(warped_xs.dtype, jnp.float32) == jnp.float64
+    on_tpu = jax.default_backend() == "tpu" and not f64
     if (
         _SPLAT_IMPL in ("pallas_banded", "pallas_banded2d")
         and on_tpu
@@ -325,9 +329,19 @@ def events_to_pdf_frame_banded(
 
     def step(frame, chunk):
         cx, cy = chunk
-        # anchor the band one row below the chunk's lowest warped row;
-        # all-NaN (padding) chunks anchor at 0 and contribute nothing
-        lo = jnp.nanmin(cy)
+        # anchor the band one row below the chunk's lowest IN-SENSOR warped
+        # row: padding sentinels (finite but far off-sensor, models/loss.py
+        # _sanitize_events) and off-sensor reals must not drag the anchor
+        # down — a nanmin over all rows pinned mixed chunks' bands to row 0,
+        # silently dropping their in-sensor mass. Chunks with no in-sensor
+        # event anchor at 0 and contribute nothing.
+        rounded_cy = jnp.round(cy)
+        inside = (
+            jnp.isfinite(cy)
+            & (rounded_cy + hw >= 0)
+            & (rounded_cy - hw <= H - 1)
+        )
+        lo = jnp.min(jnp.where(inside, cy, jnp.asarray(jnp.inf, dtype)))
         lo = jnp.where(jnp.isfinite(lo), lo, 0.0)
         b = jnp.clip(jnp.round(lo) - hw, 0, H - band).astype(jnp.int32)
 

@@ -177,6 +177,10 @@ def interp_theta_at_events(
     yi = jnp.round(ys.astype(dtype))
 
     e = xi.shape[0]
+    # clamp to the (128-rounded) event count: small windows must not pad up
+    # to a full default chunk (at 8k events that would waste ~94% of the
+    # weight-construction and matmul work on padding, every solver probe)
+    chunk = min(chunk, max(128, -(-e // 128) * 128))
     n_chunks = max(1, -(-e // chunk))
     pad = n_chunks * chunk - e
     if pad:

@@ -206,3 +206,26 @@ def test_wrap_compat_mode(rng):
         wrapped[h - 1, w - 1], g(-1 - 0.2) * g(-1 - 0.1), rtol=1e-6)
     # in-sensor mass identical to the plain mode
     np.testing.assert_allclose(wrapped[:3, :3], plain[:3, :3], rtol=1e-6)
+
+
+class TestBandedSentinelAnchor:
+    def test_sentinel_padding_does_not_pin_band(self, rng):
+        """Regression: a chunk mixing real events with finite far-off-sensor
+        padding sentinels (-1e4, models/loss.py _sanitize_events) used to
+        anchor its band at row 0 via nanmin, dropping the chunk's in-sensor
+        mass. The anchor must consider in-sensor rows only."""
+        from eincm_tpu.ops.splat import (
+            events_to_pdf_frame_banded,
+            events_to_pdf_frame_scatter,
+        )
+
+        H, W = 64, 48
+        n = 1000  # not a multiple of chunk_size -> a straddling mixed chunk
+        ys = np.sort(rng.uniform(0, H - 1, n)).astype(np.float32)
+        xs = rng.uniform(0, W - 1, n).astype(np.float32)
+        pad = np.full(128 - (n % 128), -1e4, np.float32)
+        jx = jnp.asarray(np.concatenate([xs, pad]))
+        jy = jnp.asarray(np.concatenate([ys, pad]))
+        a = events_to_pdf_frame_banded(jx, jy, (H, W), band=16, chunk_size=128)
+        b = events_to_pdf_frame_scatter(jnp.asarray(xs), jnp.asarray(ys), (H, W))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
