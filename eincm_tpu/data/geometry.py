@@ -142,7 +142,6 @@ def remap_bicubic(img: np.ndarray, map_xy: np.ndarray) -> np.ndarray:
     fy = my - y0
 
     out = np.zeros(mx.shape, np.float64)
-    wsum = np.zeros(mx.shape, np.float64)
     imgf = img.astype(np.float64)
     for dy in range(-1, 3):
         wy = _cubic_kernel(dy - fy)
@@ -156,12 +155,11 @@ def remap_bicubic(img: np.ndarray, map_xy: np.ndarray) -> np.ndarray:
             vals = np.zeros_like(out)
             vals[inside] = imgf[yi[inside], xi[inside]]
             out += wgt * np.where(inside, vals, 0.0)
-            wsum += np.where(inside, wgt, 0.0)
 
-    # normalize where the kernel was clipped at borders; fully outside -> 0
-    valid = wsum > 1e-8
-    out[valid] /= wsum[valid]
-    out[~valid] = 0.0
+    # cv.remap BORDER_CONSTANT semantics: out-of-bounds taps contribute the
+    # border value (0) at FULL weight — no renormalization at the borders
+    # (the cubic kernel is a partition of unity, so interior pixels are
+    # unaffected either way)
     if np.issubdtype(img.dtype, np.integer):
         info = np.iinfo(img.dtype)
         out = np.clip(np.round(out), info.min, info.max)

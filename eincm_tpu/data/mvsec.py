@@ -105,7 +105,11 @@ class MVSECDataLoader:
             "x": xs[keep].astype(np.int16),
             "y": ys[keep].astype(np.int16),
             "t": ts[keep].astype(np.float64),
-            "p": ps[keep].astype(bool),
+            # MVSEC stores polarity as -1/+1; `> 0` keeps the sign. (The
+            # reference's `.astype('bool')` at mvsec_loader.py:127 maps -1
+            # to True as well — a documented deviation; polarity only feeds
+            # plotting, never the loss.)
+            "p": ps[keep] > 0,
         }
         # crop images 260x346 -> 256x336
         self.l_image_raw = self.l_image_raw[:, 2:-2, 5:-5]

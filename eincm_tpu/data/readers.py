@@ -67,6 +67,11 @@ class NumpyFileReader:
 
     def read_array(self, key: str) -> np.ndarray:
         assert self.np_file is not None, "open the file first"
+        if isinstance(self.np_file, np.ndarray):
+            # a bare .npy holds exactly one unnamed array — the key only
+            # selects members of an .npz archive (the reference's reader
+            # crashes on this case, numpy_file_reader.py:31)
+            return np.asarray(self.np_file)
         return np.asarray(self.np_file[key])
 
     def __enter__(self):

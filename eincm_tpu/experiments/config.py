@@ -286,9 +286,18 @@ class ExperimentConfig:
 
 def _parse_value(s: str) -> Any:
     try:
-        return yaml.safe_load(s)
+        v = yaml.safe_load(s)
     except yaml.YAMLError:
         return s
+    # YAML 1.1 only accepts scientific notation with a decimal point
+    # ('1.0e-5'); bare '1e-5' (the common CLI spelling) parses as a string —
+    # recover the numeric value
+    if isinstance(v, str):
+        try:
+            return float(v)
+        except ValueError:
+            pass
+    return v
 
 
 def apply_overrides(cfg: ExperimentConfig, overrides) -> ExperimentConfig:

@@ -175,7 +175,11 @@ class EINCMExperiment:
         prefetcher = StagingPrefetcher(dl, indices, stage_for_solve, depth=2)
         pending = None
         for idx, staged in prefetcher:
-            for _ in range(self.cfg.phases.n_repeat_solve):
+            # repeats deliberately feed the window's own result back as the
+            # prior and drop first-sample semantics after the first solve —
+            # exactly the reference's behavior (solver.py:254-256 updates
+            # prior_theta_pyr and _IS_FIRST_SAMPLE at the END of solve())
+            for _ in range(max(1, self.cfg.phases.n_repeat_solve)):
                 res = self.window_solver(
                     staged.window, self._prior_pyr, is_first=self._is_first
                 )
@@ -198,16 +202,17 @@ class EINCMExperiment:
                 p.unlink()
         return self.opt_results
 
-    def _stream_sharded_batch(self, dl, n, mesh):
-        """Stage windows through the prefetcher and assemble the sharded
-        batch *incrementally on the devices*: each window is device_put onto
-        its target shard as soon as staging finishes, so peak host memory is
-        O(prefetch depth), not O(sequence) (the round-1 version materialized
-        the whole staged sequence in RAM first).
+    def _stream_sharded_batch(self, dl, indices, mesh):
+        """Stage the given windows through the prefetcher and assemble the
+        sharded batch *incrementally on the devices*: each window is
+        device_put onto its target shard as soon as staging finishes, so
+        peak host memory is O(prefetch depth), not O(sequence) (the round-1
+        version materialized the whole staged sequence in RAM first).
 
         Returns:
             (batch with global NamedSharding, batch_n).
         """
+        n = len(indices)
         import jax
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -251,10 +256,10 @@ class EINCMExperiment:
             )
 
         dev_windows = [[] for _ in range(n_dev)]
-        prefetcher = StagingPrefetcher(dl, range(n), stage_padded, depth=2)
+        prefetcher = StagingPrefetcher(dl, indices, stage_padded, depth=2)
         last = None
-        for idx, staged in prefetcher:
-            j = idx // per_dev
+        for pos, (_, staged) in enumerate(prefetcher):
+            j = pos // per_dev
             last = jax.device_put(staged.window, devices[j])
             dev_windows[j].append(last)
         for i in range(n, batch_n):
@@ -299,10 +304,23 @@ class EINCMExperiment:
         )
 
         dl = self._prepare_dataloader()
-        n = len(dl)
+        if self.cfg.phases.run_from_checkpoint:
+            log(
+                "parallel windows mode ignores run_from_checkpoint "
+                "(the whole sequence solves as one sharded batch)"
+            )
+        if self.cfg.phases.checkpoint_every_percent:
+            log(
+                "parallel windows mode takes no mid-sequence checkpoints "
+                "(the whole sequence solves as one sharded batch)"
+            )
+        # honor run_idx_range(s); checkpoint resume has no meaning here
+        self._ckpt_idx = -1
+        indices = [i for i in range(len(dl)) if not self._skip_idx(i)]
         mesh = make_window_mesh()
         n_dev = mesh.devices.size
-        batch, batch_n = self._stream_sharded_batch(dl, n, mesh)
+        batch, batch_n = self._stream_sharded_batch(dl, indices, mesh)
+        n = len(indices)
 
         mode = self.cfg.phases.parallel_mode
         if mode == "sequence_shard":
@@ -316,12 +334,15 @@ class EINCMExperiment:
         else:
             raise ValueError(f"unknown parallel_mode {mode!r}")
 
-        for i in range(n):
+        # ONE host transfer for the whole result tree, then numpy slicing —
+        # per-window sliced fetches on a relayed backend are ~50 tiny
+        # round-trips per window (see outputs.solve_result_to_record)
+        res = jax.device_get(res._replace(final_theta_pyr=tuple(final)))
+        for i, ds_idx in enumerate(indices):
             rec = jax.tree_util.tree_map(lambda x: x[i], res)
-            rec = rec._replace(
-                final_theta_pyr=tuple(lvl[i] for lvl in final)
+            self.opt_results[f"datasample_idx_{ds_idx}"] = (
+                solve_result_to_record(rec)
             )
-            self.opt_results[f"datasample_idx_{i}"] = solve_result_to_record(rec)
 
         validate_opt_results(self.opt_results, self.solver_cfg.n_pyr_lvls)
         save_opt_results(

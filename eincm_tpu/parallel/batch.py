@@ -241,7 +241,8 @@ def two_pass_sequence_solve(
     its pass-1 result (first-sample semantics, src/eincm/solver.py:305-306).
 
     Returns:
-        (pass-2 SolveResult, final theta pyramids per window).
+        (SolveResult with window 0 spliced from pass 1, final theta
+        pyramids per window).
     """
     solve = (
         partial(solve_window_batch_sharded, cfg, mesh=mesh)
@@ -259,8 +260,15 @@ def two_pass_sequence_solve(
     )
     pass2 = solve(batch, prior_pyrs=prior_pyrs, is_first=False)
 
-    final = tuple(
-        jnp.concatenate([p1[:1], p2[1:]], axis=0)
-        for p1, p2 in zip(pass1.final_theta_pyr, pass2.final_theta_pyr)
+    # window 0 keeps its ENTIRE pass-1 record (thetas, opt states, losses,
+    # handover weights) — its pass-2 re-solve used itself as prior and is
+    # discarded; splicing only final_theta_pyr would pair window 0's kept
+    # theta with opt states from the discarded solve
+    res = jax.tree_util.tree_map(
+        lambda p1, p2: jnp.concatenate([p1[:1], p2[1:]], axis=0)
+        if getattr(p1, "ndim", 0) > 0
+        else p2,
+        pass1,
+        pass2,
     )
-    return pass2, final
+    return res, res.final_theta_pyr

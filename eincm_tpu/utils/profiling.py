@@ -29,7 +29,13 @@ def force_sync(tree) -> None:
     """
     leaves = jax.tree_util.tree_leaves(tree)
     if leaves:
-        np.asarray(jax.tree_util.tree_leaves(tree)[0]).ravel()[:1]
+        leaf = leaves[0]
+        if isinstance(leaf, jax.Array):
+            # slice ON DEVICE first: fetching the whole leaf would time a
+            # full device->host transfer inside the measured region
+            np.asarray(jnp.ravel(leaf)[:1])
+        else:
+            np.asarray(leaf).ravel()[:1]
 
 
 @contextlib.contextmanager
