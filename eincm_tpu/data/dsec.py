@@ -135,11 +135,12 @@ class DSECDataLoader:
             )
             self.eval_ts_us = np.loadtxt(
                 self.dataset.flow_gt_forward_timestamps_path,
-                delimiter=",", skiprows=1, dtype="int64",
+                delimiter=",", skiprows=1, dtype="int64", ndmin=2,
             )
         else:
             self.eval_ts_us = np.loadtxt(
-                self.dataset.eval_ts_path, delimiter=",", skiprows=1, dtype="int64"
+                self.dataset.eval_ts_path, delimiter=",", skiprows=1,
+                dtype="int64", ndmin=2,
             )
 
     # --------------------------------------------------------- rectification

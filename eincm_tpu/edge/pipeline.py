@@ -91,7 +91,9 @@ def image_to_edge(
     img: np.ndarray, apert_size: int = 3, th1: float = 30, th2: float = 80
 ) -> np.ndarray:
     """Canny edges, L2 gradient (img_utils.py:192-208)."""
-    canny_fn = _native_or(canny)
+    # the native kernel's gradients are fixed Sobel-3; other apertures take
+    # the numpy path (silently diverging edges would be worse than slower)
+    canny_fn = _native_or(canny) if apert_size == 3 else canny
     return canny_fn(_to_uint8(img), th1, th2, apert_size, True)
 
 

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from eincm_tpu.models.loss import LossParams, compute_loss_objectives
-from eincm_tpu.ops.splat import event_counts, events_to_pdf_frame
+from eincm_tpu.ops.splat import events_to_pdf_frame
 
 from eincm_tpu.evals.flow_metrics import sparse_flow_error
 
@@ -126,11 +126,16 @@ def evaluate_theta_array(
     # bundle every time (padded events are sanitized away by every consumer).
     e = eval_xs.shape[0]
     bucket = max(8192, -(-e // 8192) * 8192)
+    # cast BEFORE the padding branch: an exact-multiple window must not
+    # slip through at a different dtype (extra recompile + mixed precision)
+    eval_xs = eval_xs.astype(dtype)
+    eval_ys = eval_ys.astype(dtype)
+    eval_ts = eval_ts.astype(dtype)
     if e < bucket:
         fill = jnp.full((bucket - e,), jnp.nan, dtype)
-        eval_xs = jnp.concatenate([eval_xs.astype(dtype), fill])
-        eval_ys = jnp.concatenate([eval_ys.astype(dtype), fill])
-        eval_ts = jnp.concatenate([eval_ts.astype(dtype), fill])
+        eval_xs = jnp.concatenate([eval_xs, fill])
+        eval_ys = jnp.concatenate([eval_ys, fill])
+        eval_ts = jnp.concatenate([eval_ts, fill])
     if gt_flow is None:
         gt_flow = jnp.zeros((1, 1, 2), dtype)
     if err_eval_event_mask is None:

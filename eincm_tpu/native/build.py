@@ -17,8 +17,14 @@ SRCS = [
 SRC = SRCS[0]  # back-compat
 LIB = Path(__file__).parent / "libeincm_vision.so"
 
+_failed = False  # a failed build is final for the process: don't re-spawn
+# g++ (and re-log) on every available() probe — staging checks per window
+
 
 def build(force: bool = False) -> Path | None:
+    global _failed
+    if _failed and not force:
+        return None
     if (
         not force
         and LIB.exists()
@@ -34,7 +40,9 @@ def build(force: bool = False) -> Path | None:
         subprocess.run(cmd, check=True, capture_output=True, text=True)
     except (subprocess.CalledProcessError, FileNotFoundError) as e:
         print(f"[eincm_tpu.native] build failed: {e}")
+        _failed = True
         return None
+    _failed = False
     return LIB
 
 

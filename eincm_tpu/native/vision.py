@@ -49,6 +49,11 @@ def available() -> bool:
 
 
 def gaussian_blur(img: np.ndarray, sigma: float, radius=None) -> np.ndarray:
+    if radius is not None:
+        raise ValueError(
+            "native gaussian_blur uses radius=ceil(3*sigma); pass "
+            "radius=None or use edge.filters_np.gaussian_blur"
+        )
     lib = _load()
     src = np.ascontiguousarray(img, np.float64)
     dst = np.empty_like(src)
@@ -74,6 +79,11 @@ def clahe(
     img: np.ndarray, clip_limit: float = 5.0, tile_grid_size=(10, 10),
     n_bins: int = 256,
 ) -> np.ndarray:
+    if n_bins != 256:
+        raise ValueError(
+            "native clahe histograms are fixed at 256 bins; use "
+            "edge.filters_np.clahe for other n_bins"
+        )
     lib = _load()
     src = np.ascontiguousarray(img, np.uint8)
     dst = np.empty_like(src)
@@ -102,6 +112,11 @@ def canny(
     img: np.ndarray, threshold1: float = 30.0, threshold2: float = 80.0,
     aperture_size: int = 3, l2_gradient: bool = True,
 ) -> np.ndarray:
+    if aperture_size != 3:
+        raise ValueError(
+            "native canny gradients are fixed Sobel-3; use edge.canny for "
+            "other aperture sizes"
+        )
     lib = _load()
     src = np.ascontiguousarray(img, np.uint8)
     dst = np.empty_like(src)

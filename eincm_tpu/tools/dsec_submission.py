@@ -47,18 +47,25 @@ def export_submission(
     output_dir,
     skip: int = 0,
     jump_first: int = 0,
+    sequence_name: str = "",
 ):
-    """Write one PNG per eval timestamp row, named by its file_idx column."""
+    """Write one PNG per eval timestamp row, named by its file_idx column.
+
+    With `sequence_name`, PNGs land in `output_dir/sequence_name/` — the
+    layout the DSEC benchmark upload expects (dsec_npz_to_png.py:50).
+    """
     from eincm_tpu.experiments.outputs import EINCMOutputLoader
     from eincm_tpu.utils.png16 import write_png16
 
-    out = Path(output_dir)
+    out = Path(output_dir) / sequence_name if sequence_name else Path(output_dir)
     out.mkdir(parents=True, exist_ok=True)
 
     opt_results = EINCMOutputLoader().load_opt_results(
         opt_results_path, run_validation=False
     )
-    eval_ts = np.loadtxt(eval_ts_path, delimiter=",", skiprows=1, dtype="int64")
+    eval_ts = np.loadtxt(
+        eval_ts_path, delimiter=",", skiprows=1, dtype="int64", ndmin=2
+    )
 
     keys = sorted(
         opt_results, key=lambda k: int(k.replace("datasample_idx_", ""))
@@ -95,7 +102,7 @@ def main(argv=None):
     args = p.parse_args(argv)
     written = export_submission(
         args.opt_results_path, args.eval_ts_path, args.output_dir,
-        args.skip, args.jump_first,
+        args.skip, args.jump_first, args.sequence_name,
     )
     print(f"wrote {len(written)} submission PNGs to {args.output_dir}")
 
