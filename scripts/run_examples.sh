@@ -3,6 +3,9 @@
 # Point dataset.root_dir at your local dataset copies.
 set -e
 
+# zero-dataset smoke run: full SOLVE/EVAL/PLOT on the synthetic loader
+python -m eincm_tpu.experiments --config configs/synthetic.yaml "$@"
+
 # ECD slider_depth (run.sh:17-38)
 python -m eincm_tpu.experiments --config configs/ecd_slider.yaml \
     dataset.root_dir=/data/ecd "$@"
