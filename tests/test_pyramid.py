@@ -167,3 +167,84 @@ def test_armijo_solver_recovers_flow(rng):
     ix = np.asarray(sample.xs).astype(int)
     aee = np.linalg.norm(full[iy, ix] - v[None, :], axis=-1).mean()
     assert aee < 0.5 * np.linalg.norm(v)
+
+
+def test_rotational_flow_recovery():
+    """Recover a SPATIALLY-VARYING (rotational) flow field — the capability
+    the per-pixel theta exists for; constant-velocity recovery alone cannot
+    distinguish per-pixel flow from a global translation model. Contrast
+    objective only: the correlation term's reference sign structure fights
+    alignment on naive synthetic edge maps (see PARITY.md deviations)."""
+    import numpy as np
+
+    from eincm_tpu.models.loss import LossParams
+    from eincm_tpu.models.pyramid import (
+        HandoverSettings,
+        SolverConfig,
+        WindowSample,
+        solve_window,
+    )
+    from eincm_tpu.ops.filters import gaussian_blur_3x3
+    from eincm_tpu.ops.normalize import normalize_to_unit_range
+    from eincm_tpu.ops.resize import scale_theta_to_sensor_size
+    from eincm_tpu.ops.splat import events_to_pdf_frame
+
+    H = W = 48
+    cx = cy = 24.0
+    omega = 0.1  # rad / unit time; rim speed ~2.4 px
+    rng = np.random.default_rng(5)
+    n_feat, n_ev = 60, 6144
+    feat = rng.uniform(6, 42, (n_feat, 2))
+
+    def pos(f, t):
+        dx, dy = f[:, 0] - cx, f[:, 1] - cy
+        c, s = np.cos(omega * t), np.sin(omega * t)
+        return np.stack([cx + c * dx - s * dy, cy + s * dx + c * dy], 1)
+
+    ts = rng.uniform(0, 1, n_ev).astype(np.float32)
+    which = rng.integers(0, n_feat, n_ev)
+    pts = np.concatenate([pos(feat[[w]], t) for w, t in zip(which, ts)])
+    xs = np.round(pts[:, 0]).astype(np.float32)
+    ys = np.round(pts[:, 1]).astype(np.float32)
+
+    def edge_map(t):
+        q = pos(feat, t)
+        m = events_to_pdf_frame(jnp.asarray(q[:, 0]), jnp.asarray(q[:, 1]), (H, W))
+        return normalize_to_unit_range(gaussian_blur_3x3(m))
+
+    sample = WindowSample(
+        xs=jnp.asarray(xs),
+        ys=jnp.asarray(ys),
+        ts=jnp.asarray(ts),
+        edges=jnp.stack([edge_map(0.0), edge_map(1.0)]),
+        edge_ts=jnp.asarray([0.0, 1.0], jnp.float32),
+    )
+    cfg = SolverConfig(
+        n_pyr_lvls=3,
+        sensor_size=(H, W),
+        params=LossParams(alpha=40.0, beta=0.0, gamma=0.001),
+        theta_opt_maxiters=(16, 10, 8),
+        handover=HandoverSettings(use_handover=False),
+        max_ls_evals=6,
+    )
+    res = solve_window(cfg, sample, tuple(cfg.zero_pyramid(jnp.float32)), True)
+    th = np.asarray(
+        scale_theta_to_sensor_size(res.final_theta_pyr[0], (H, W), "bilinear")
+    )
+
+    gy, gx = np.mgrid[0:H, 0:W].astype(np.float64)
+    dx, dy = gx - cx, gy - cy
+    c, s = np.cos(omega), np.sin(omega)
+    gt = np.stack([(c - 1) * dx - s * dy, s * dx + (c - 1) * dy], -1)
+
+    mask = np.zeros((H, W), bool)
+    mask[ys.astype(int), xs.astype(int)] = True
+    err = np.linalg.norm(th - gt, axis=-1)[mask]
+    mag = np.linalg.norm(gt, axis=-1)[mask]
+    # the recovered field must follow the rotation, not a constant fit: a
+    # best constant field leaves AEE ~= the field's own spatial spread
+    assert err.mean() < 0.4 * mag.mean(), (err.mean(), mag.mean())
+    const_err = np.linalg.norm(
+        th[mask] - th[mask].mean(0, keepdims=True), axis=-1
+    ).mean()
+    assert const_err > 0.2 * mag.mean()  # genuinely non-uniform solution
