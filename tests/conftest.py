@@ -6,11 +6,15 @@ Multi-chip sharding paths are exercised on CPU via
 
 import os
 
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# force EXACTLY 8 virtual devices — the sharding tests assert that count,
+# so a pre-existing different value must be replaced, not kept
+_flags = [
+    f
+    for f in os.environ.get("XLA_FLAGS", "").split()
+    if "xla_force_host_platform_device_count" not in f
+]
+_flags.append("--xla_force_host_platform_device_count=8")
+os.environ["XLA_FLAGS"] = " ".join(_flags).strip()
 # Force CPU: tests exercise multi-chip sharding on the virtual CPU mesh and
 # must not depend on (or monopolize) the single real TPU chip. The host's
 # sitecustomize force-registers the TPU plugin and resets jax_platforms, so

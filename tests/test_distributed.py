@@ -38,11 +38,8 @@ def test_two_process_sharded_solve():
     ]
     flags.append("--xla_force_host_platform_device_count=2")
     env["XLA_FLAGS"] = " ".join(flags).strip()
-    env["PYTHONPATH"] = (
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        + os.pathsep
-        + env.get("PYTHONPATH", "")
-    )
+    # NOTE: no PYTHONPATH (CLAUDE.md: it breaks the host sitecustomize's
+    # TPU registration); the worker inserts the repo root itself
 
     procs = [
         subprocess.Popen(
@@ -54,7 +51,14 @@ def test_two_process_sharded_solve():
         )
         for pid in range(n_proc)
     ]
-    outs = [p.communicate(timeout=540) for p in procs]
+    try:
+        outs = [p.communicate(timeout=540) for p in procs]
+    finally:
+        # one worker dying leaves the other blocked at the distributed
+        # barrier — never leak it past the test
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
     for p, (out, err) in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{err[-4000:]}"
 

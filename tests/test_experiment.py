@@ -121,19 +121,38 @@ class TestExperimentRun:
         cfg2 = tiny_cfg(tmp_path / "resumed")
         cfg2.phases.run_from_checkpoint = str(ckpts[0])
         exp2 = EINCMExperiment(cfg2)
+        solver, calls = exp2.window_solver, []
+        exp2.window_solver = lambda *a, **k: (calls.append(1), solver(*a, **k))[1]
         exp2.run_solver()
         assert len(exp2.opt_results) == 3
+        # only the windows AFTER the checkpoint were actually re-solved
+        assert len(calls) == 3 - len(
+            np.load(ckpts[0], allow_pickle=True)["opt_results"].item()
+        )
+        # the restored window records equal the checkpointed ones exactly
+        ck = np.load(ckpts[0], allow_pickle=True)["opt_results"].item()
+        for key, rec in ck.items():
+            np.testing.assert_array_equal(
+                exp2.opt_results[key]["solver_final_results"][
+                    "final_theta_pyr"]["pyr_lvl_0"],
+                rec["solver_final_results"]["final_theta_pyr"]["pyr_lvl_0"],
+            )
 
     def test_plot_phase(self, tmp_path):
         cfg = tiny_cfg(tmp_path)
         cfg.phases.plot = True
         cfg.solver.collect_intermediate = True  # enables per-step figures
         cfg.mpl_rcparams = {"figure.dpi": 72}  # reference mpl_rcparams group
-        exp = EINCMExperiment(cfg)
-        exp.run()
         import matplotlib
 
-        assert matplotlib.rcParams["figure.dpi"] == 72
+        dpi0 = matplotlib.rcParams["figure.dpi"]
+        exp = EINCMExperiment(cfg)
+        try:
+            exp.run()
+            assert matplotlib.rcParams["figure.dpi"] == 72
+        finally:
+            # rcParams are process-global; don't leak into later tests
+            matplotlib.rcParams["figure.dpi"] = dpi0
         pngs = list((exp.out_dir / "plots").glob("end_result_*.png"))
         assert len(pngs) == 3
         assert (exp.out_dir / "plots" / "seq_aee.png").exists()
@@ -168,8 +187,9 @@ class TestExperimentRun:
         i = data.find(b"avih")
         vals = struct.unpack("<14I", data[i + 8 : i + 8 + 56])
         assert vals[4] == 5 and vals[8] == 64 and vals[9] == 48
-        # movi list contains 5 JPEG chunks (JPEG SOI marker)
-        assert data.count(b"00dc" + b"") >= 5
+        # exactly 5 frame chunks: each appears once as a movi chunk header
+        # and once as its idx1 entry
+        assert data.count(b"00dc") == 2 * 5
         i = data.find(b"movi")
         first = data[i + 4 : i + 16]
         assert first[:4] == b"00dc" and first[8:10] == b"\xff\xd8"

@@ -286,30 +286,26 @@ class TestGeometry:
 
 
 class TestPng16:
-    def test_roundtrip(self, rng):
+    def test_roundtrip(self, rng, tmp_path):
         from eincm_tpu.utils.png16 import read_png16, write_png16
-        import tempfile, os
 
         img = rng.integers(0, 65535, (20, 30, 3)).astype(np.uint16)
-        p = tempfile.mktemp(suffix=".png")
+        p = str(tmp_path / "t.png")
         write_png16(p, img)
         back = read_png16(p)
         np.testing.assert_array_equal(back, img)
-        os.unlink(p)
 
-    def test_pil_can_read_ours(self, rng):
+    def test_pil_can_read_ours(self, rng, tmp_path):
         """Other tools (e.g. the DSEC benchmark server) must parse our PNGs."""
         from PIL import Image
 
         from eincm_tpu.utils.png16 import write_png16
-        import tempfile, os
 
         img = rng.integers(0, 65535, (8, 8)).astype(np.uint16)
-        p = tempfile.mktemp(suffix=".png")
+        p = str(tmp_path / "t.png")
         write_png16(p, img)
         back = np.asarray(Image.open(p))
         np.testing.assert_array_equal(back, img)
-        os.unlink(p)
 
 
 # ---------------------------------------------------------------------------

@@ -203,9 +203,11 @@ def test_rotational_flow_recovery():
 
     ts = rng.uniform(0, 1, n_ev).astype(np.float32)
     which = rng.integers(0, n_feat, n_ev)
-    pts = np.concatenate([pos(feat[[w]], t) for w, t in zip(which, ts)])
-    xs = np.round(pts[:, 0]).astype(np.float32)
-    ys = np.round(pts[:, 1]).astype(np.float32)
+    f = feat[which]
+    fdx, fdy = f[:, 0] - cx, f[:, 1] - cy
+    ca, sa = np.cos(omega * ts), np.sin(omega * ts)
+    xs = np.round(cx + ca * fdx - sa * fdy).astype(np.float32)
+    ys = np.round(cy + sa * fdx + ca * fdy).astype(np.float32)
 
     def edge_map(t):
         q = pos(feat, t)

@@ -76,7 +76,6 @@ def _sorted_events(rng, n, spread=4.0):
 def test_banded_interpret_forward_and_grad(rng):
     """Row-banded kernel (interpret mode) vs the XLA oracle, incl. VJP."""
     from eincm_tpu.ops.splat_banded import (
-        _pad_chunks,
         _precompute,
         events_to_pdf_frame_pallas_banded,
     )
