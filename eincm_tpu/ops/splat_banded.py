@@ -65,13 +65,25 @@ _ROW_BANDS = (128,)
 # Staging row-tile height (data/staging.py tile_sort_events): half the
 # narrowest band so the remaining rows absorb the warp-induced row spread.
 _TILE_H = _ROW_BANDS[0] // 2
-# Column band width candidates, tried narrowest first (used with tile-sorted
-# staging). Band starts must be 128-lane-aligned for the VMEM accumulator
-# slice, so a candidate only validates when every chunk's splat columns fit
-# inside one aligned bc-wide window: a 128 candidate guarantees just 1 usable
-# column past the alignment floor and was measured to never validate globally
-# (any chunk straddling an alignment boundary kills it) — 256 is the floor.
+# ALIGNED column band width candidates (used with tile-sorted staging).
+# Aligned band starts must be 128-lane-aligned for the VMEM accumulator
+# slice, so an aligned candidate only validates when every chunk's splat
+# columns fit inside one aligned bc-wide window — which makes 256 the
+# narrowest useful ALIGNED width (any chunk straddling an alignment
+# boundary kills a 128 candidate).
 _BCS = (256,)
+# The UNALIGNED narrow band sidesteps the alignment floor: each chunk
+# contracts against a 128-wide band starting at ANY column c0 (validity =
+# spread <= 128, no alignment slack), accumulates its (B, 128) partial
+# normally, and a per-CHUNK epilogue places it into the aligned 256-wide
+# accumulator window through a one-hot shift matrix on the MXU. This halves
+# both the column-weight VPU work AND the per-subrow MXU tile count
+# relative to bc=256; the epilogue costs ~one extra subrow per chunk.
+# MEASURED (DSEC scale): fwd 4.41 vs 4.54 ms, bwd flat — so the kernel is
+# bound by neither term (every structural lever tried — B, bc, chunk size,
+# MXU tiles — moves it <5%). Kept for the small win and because it
+# validates under any spread <= 128 regardless of alignment straddle.
+_BCU = 128
 
 
 def _hpad(h: int, b: int) -> int:
@@ -95,14 +107,17 @@ def _a_max(h: int, b: int) -> int:
 
 
 def _fwd_kernel(
-    r0_ref, wx_ref, wy_ref, out_ref, acc, cur_ref, sem, *, w, hw, n_zero_blocks, bc, b, a_max
+    r0_ref, wx_ref, wy_ref, out_ref, acc, cur_ref, sem, *, w, hw, n_zero_blocks, bc, b, a_max, unaligned=False
 ):
     """Forward splat over a (b, bc) band per chunk.
 
     `bc == w` is the row-banded configuration (column offsets are all zero);
-    `bc < w` additionally restricts the columns to a 128-aligned band
-    whose start arrives with the row offsets in the prefetched (n, 2) array
-    — valid when events are tile-sorted (data/staging.py tile_sort_events).
+    `bc < w` additionally restricts the columns to a band whose start
+    arrives with the row offsets in the prefetched (n, 2) array — valid
+    when events are tile-sorted (data/staging.py tile_sort_events). With
+    `unaligned` the start is an arbitrary column (bc == 128) and the
+    accumulated partial is shifted into the aligned 256-wide accumulator
+    window by a one-hot matmul once per chunk.
     """
     i = pl.program_id(0)
 
@@ -175,7 +190,22 @@ def _fwd_kernel(
             preferred_element_type=jnp.float32,
         )
     off = pl.multiple_of(off, 8)  # r0 is 8-aligned, cur is b-aligned
-    if bc == w:
+    if unaligned:
+        # place the (b, 128) partial at unaligned column c0 inside the
+        # aligned [calign, calign + 256) window: part256 = part @ E with
+        # E[i, j] = 1[j == i + shift] (one extra MXU pass per CHUNK)
+        calign = jnp.minimum((c0 // _LANES) * _LANES, w - 2 * _LANES)
+        shift = c0 - calign  # in [0, 128]
+        ei = jax.lax.broadcasted_iota(jnp.int32, (bc, 2 * _LANES), 0)
+        ej = jax.lax.broadcasted_iota(jnp.int32, (bc, 2 * _LANES), 1)
+        emb = (ej == ei + shift).astype(jnp.float32)  # (128, 256)
+        part256 = jax.lax.dot_general(
+            part, emb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        coff = pl.multiple_of(calign, _LANES)
+        acc[pl.ds(off, b), pl.ds(coff, 2 * _LANES)] += part256
+    elif bc == w:
         acc[pl.ds(off, b), :] += part
     else:
         coff = pl.multiple_of(c0, _LANES)
@@ -281,7 +311,34 @@ def _col_starts(wx_r: jax.Array, w: int, hw: int, wpad: int, bcs):
     return jnp.stack(c0s, axis=1), jnp.stack(oks)
 
 
-def _banded_fwd_call(xs, ys, r0c0, sensor_size, window_size, b, bc, interpret=False):
+def _col_starts_unaligned(wx_r: jax.Array, w: int, hw: int, wpad: int):
+    """Per-chunk UNALIGNED 128-wide column-band starts + validity (XLA).
+
+    Validity only needs each chunk's in-sensor splat columns to span at
+    most 128 columns — no alignment slack; the kernel's shift-matrix
+    epilogue handles the aligned-accumulator placement. Empty chunks get
+    c0 = 0 and contribute nothing.
+    """
+    rx = jnp.round(wx_r)
+    col_lo = rx - hw
+    col_hi = rx + hw
+    inside = jnp.isfinite(rx) & (col_hi >= 0) & (col_lo <= w - 1)
+
+    big = jnp.float32(1e9)
+    cmin = jnp.min(jnp.where(inside, jnp.maximum(col_lo, 0), big), axis=1)
+    lo_eff = jnp.maximum(col_lo, 0)
+    hi_eff = jnp.minimum(col_hi, jnp.float32(w - 1))
+
+    c0 = jnp.clip(cmin, 0, wpad - _BCU).astype(jnp.int32)
+    c0 = jnp.where(jnp.any(inside, axis=1), c0, 0)
+    c0f = c0.astype(jnp.float32)[:, None]
+    ok = jnp.all(
+        jnp.where(inside, (lo_eff >= c0f) & (hi_eff < c0f + _BCU), True)
+    )
+    return c0, ok
+
+
+def _banded_fwd_call(xs, ys, r0c0, sensor_size, window_size, b, bc, unaligned=False, interpret=False):
     H, W = sensor_size
     hw = window_size // 2
     hpad = _hpad(H, b)
@@ -298,6 +355,7 @@ def _banded_fwd_call(xs, ys, r0c0, sensor_size, window_size, b, bc, interpret=Fa
         bc=bc,
         b=b,
         a_max=_a_max(H, b),
+        unaligned=unaligned,
     )
     spec_ev = pl.BlockSpec(
         (_SUBROWS, _LANES), lambda i, r0_ref: (i, 0), memory_space=pltpu.VMEM
@@ -326,7 +384,7 @@ def _banded_fwd_call(xs, ys, r0c0, sensor_size, window_size, b, bc, interpret=Fa
 
 
 def _bwd_kernel(
-    r0_ref, wx_ref, wy_ref, g_ref, dwx_ref, dwy_ref, gband, prev_ref, sem, *, w, hw, bc, b
+    r0_ref, wx_ref, wy_ref, g_ref, dwx_ref, dwy_ref, gband, prev_ref, sem, *, w, hw, bc, b, unaligned=False
 ):
     i = pl.program_id(0)
     r0 = r0_ref[i, 0]
@@ -344,7 +402,21 @@ def _bwd_kernel(
     base = r0.astype(jnp.float32)
     cbase = c0.astype(jnp.float32)
 
-    if bc == w:
+    if unaligned:
+        # slice the cotangent band at the unaligned column start: take the
+        # aligned 256 window and shift-select 128 columns via the same
+        # one-hot matrix as the forward epilogue (once per chunk)
+        calign = jnp.minimum((c0 // _LANES) * _LANES, w - 2 * _LANES)
+        shift = c0 - calign
+        g256 = gband[:, pl.ds(pl.multiple_of(calign, _LANES), 2 * _LANES)]
+        ei = jax.lax.broadcasted_iota(jnp.int32, (bc, 2 * _LANES), 0)
+        ej = jax.lax.broadcasted_iota(jnp.int32, (bc, 2 * _LANES), 1)
+        emb = (ej == ei + shift).astype(jnp.float32)  # (128, 256)
+        gsl = jax.lax.dot_general(  # (b, 128) = G256 selected at c0
+            g256, emb, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    elif bc == w:
         gsl = gband[:]
     else:
         gsl = gband[:, pl.ds(pl.multiple_of(c0, _LANES), bc)]
@@ -386,7 +458,7 @@ def _bwd_kernel(
         dwy_ref[j, :] = jnp.sum(mt * du, axis=1)
 
 
-def _banded_bwd_call(xs32, ys32, r0c0, g, sensor_size, window_size, b, bc, interpret=False):
+def _banded_bwd_call(xs32, ys32, r0c0, g, sensor_size, window_size, b, bc, unaligned=False, interpret=False):
     H, W = sensor_size
     hw = window_size // 2
     hpad = _hpad(H, b)
@@ -397,7 +469,7 @@ def _banded_bwd_call(xs32, ys32, r0c0, g, sensor_size, window_size, b, bc, inter
     ysr = ysr.reshape(n_chunks * _SUBROWS, _LANES)
     gpad = jnp.zeros((hpad, wpad), jnp.float32).at[:H, :W].set(g)
 
-    kernel = partial(_bwd_kernel, w=wpad, hw=hw, bc=bc, b=b)
+    kernel = partial(_bwd_kernel, w=wpad, hw=hw, bc=bc, b=b, unaligned=unaligned)
     spec_ev = pl.BlockSpec(
         (_SUBROWS, _LANES), lambda i, r0_ref: (i, 0), memory_space=pltpu.VMEM
     )
@@ -460,14 +532,19 @@ def _col_candidates(wpad: int):
 
 
 def _candidates(h: int, wpad: int, try_col_band: bool):
-    """(b, bc) kernel configurations, cheapest first (VPU cost ∝ b + bc)."""
+    """(b, bc, unaligned) kernel configurations, cheapest first (per-event
+    cost ∝ b + bc in both VPU weight work and MXU tiles)."""
     bcs = _col_candidates(wpad) if try_col_band else ()
     cands = [
-        (b, bc)
+        (b, bc, False)
         for b in _ROW_BANDS
         for bc in tuple(bcs) + (wpad,)
         if 2 * b < _hpad(h, b)  # degenerate: band taller than the sensor
     ]
+    if try_col_band and wpad >= 2 * _LANES:
+        cands += [
+            (b, _BCU, True) for b in _ROW_BANDS if 2 * b < _hpad(h, b)
+        ]
     return sorted(cands, key=lambda c: c[0] + c[1])
 
 
@@ -488,13 +565,21 @@ def _precompute(xs, ys, sensor_size, window_size, try_col_band):
     else:
         c0s = jnp.zeros((n_chunks, 0), jnp.int32)
         ok_cols = jnp.zeros((0,), jnp.bool_)
-    return r0s, c0s, ok_rows, ok_cols
+    if try_col_band and wpad >= 2 * _LANES:
+        c0u, ok_u = _col_starts_unaligned(xsr, W, hw, wpad)
+    else:
+        c0u = jnp.zeros((n_chunks,), jnp.int32)
+        ok_u = jnp.bool_(False)
+    return r0s, c0s, ok_rows, ok_cols, c0u, ok_u
 
 
-def _cand_arrays(cand, r0s, c0s, ok_rows, ok_cols, wpad, bcs):
-    b, bc = cand
+def _cand_arrays(cand, r0s, c0s, ok_rows, ok_cols, c0u, ok_u, wpad, bcs):
+    b, bc, unaligned = cand
     r0 = r0s[b]
-    if bc == wpad:
+    if unaligned:
+        c0 = c0u
+        ok = ok_rows[b] & ok_u
+    elif bc == wpad:
         c0 = jnp.zeros_like(r0)
         ok = ok_rows[b]
     else:
@@ -507,7 +592,7 @@ def _cand_arrays(cand, r0s, c0s, ok_rows, ok_cols, wpad, bcs):
 def _fwd(xs, ys, sensor_size, window_size, try_col_band, interpret=False):
     xs32 = xs.astype(jnp.float32)
     ys32 = ys.astype(jnp.float32)
-    r0s, c0s, ok_rows, ok_cols = _precompute(
+    r0s, c0s, ok_rows, ok_cols, c0u, ok_u = _precompute(
         xs32, ys32, sensor_size, window_size, try_col_band
     )
     wpad = _wpad(sensor_size[1])
@@ -520,19 +605,21 @@ def _fwd(xs, ys, sensor_size, window_size, try_col_band, interpret=False):
 
     out = full
     for cand in reversed(_candidates(sensor_size[0], wpad, try_col_band)):
-        r0c0, ok = _cand_arrays(cand, r0s, c0s, ok_rows, ok_cols, wpad, bcs)
+        r0c0, ok = _cand_arrays(
+            cand, r0s, c0s, ok_rows, ok_cols, c0u, ok_u, wpad, bcs
+        )
         call = partial(
             _banded_fwd_call,
             xs32, ys32, r0c0, sensor_size, window_size, cand[0], cand[1],
-            interpret,
+            cand[2], interpret,
         )
         out = partial(jax.lax.cond, ok, call, out)
     out = out()
-    return out, (xs, ys, r0s, c0s, ok_rows, ok_cols)
+    return out, (xs, ys, r0s, c0s, ok_rows, ok_cols, c0u, ok_u)
 
 
 def _bwd(sensor_size, window_size, try_col_band, interpret, res, g):
-    xs, ys, r0s, c0s, ok_rows, ok_cols = res
+    xs, ys, r0s, c0s, ok_rows, ok_cols, c0u, ok_u = res
     xs32 = xs.astype(jnp.float32)
     ys32 = ys.astype(jnp.float32)
     g32 = g.astype(jnp.float32)
@@ -547,11 +634,13 @@ def _bwd(sensor_size, window_size, try_col_band, interpret, res, g):
 
     dwx_dwy = full
     for cand in reversed(_candidates(sensor_size[0], wpad, try_col_band)):
-        r0c0, ok = _cand_arrays(cand, r0s, c0s, ok_rows, ok_cols, wpad, bcs)
+        r0c0, ok = _cand_arrays(
+            cand, r0s, c0s, ok_rows, ok_cols, c0u, ok_u, wpad, bcs
+        )
         call = partial(
             _banded_bwd_call,
             xs32, ys32, r0c0, g32, sensor_size, window_size, cand[0], cand[1],
-            interpret,
+            cand[2], interpret,
         )
         dwx_dwy = partial(jax.lax.cond, ok, call, dwx_dwy)
     dwx, dwy = dwx_dwy()

@@ -82,7 +82,7 @@ def test_banded_interpret_forward_and_grad(rng):
 
     wx, wy = _sorted_events(rng, 40000)
     # the row band must actually validate, else this test exercises nothing
-    _, _, ok_rows, _ = _precompute(wx, wy, BSENSOR, 3, False)
+    _, _, ok_rows, *_ = _precompute(wx, wy, BSENSOR, 3, False)
     assert bool(ok_rows[128])
 
     a = events_to_pdf_frame_pallas_banded(wx, wy, BSENSOR, 3, False, True)
@@ -127,7 +127,7 @@ def test_banded2d_interpret_tile_sorted(rng):
     wx[pad] = np.nan
     jwx, jwy = jnp.asarray(wx), jnp.asarray(wy)
 
-    _, _, ok_rows, ok_cols = _precompute(jwx, jwy, BSENSOR, 3, True)
+    _, _, ok_rows, ok_cols, _, ok_u = _precompute(jwx, jwy, BSENSOR, 3, True)
     assert bool(ok_rows[128]) and bool(np.asarray(ok_cols).any())
 
     a = events_to_pdf_frame_pallas_banded(jwx, jwy, BSENSOR, 3, True, True)
@@ -155,9 +155,59 @@ def test_banded_band_start_regression(rng):
     )
     wx = jnp.asarray(rng.uniform(1, w - 2, n).astype(np.float32))
 
-    _, _, ok_rows, _ = _precompute(wx, wy, BSENSOR, 3, False)
+    _, _, ok_rows, *_ = _precompute(wx, wy, BSENSOR, 3, False)
     assert bool(ok_rows[128])
 
     a = events_to_pdf_frame_pallas_banded(wx, wy, BSENSOR, 3, False, True)
     b = events_to_pdf_frame(wx, wy, BSENSOR)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_banded_unaligned_column_band(rng):
+    """The unaligned 128-wide column band (shift-matrix epilogue) must
+    engage for tile-sorted narrow-spread events — including chunks that
+    straddle a 128-column alignment boundary, which invalidate every
+    ALIGNED narrow candidate — and match the oracle in value and grad."""
+    from eincm_tpu.data.staging import tile_sort_events
+    from eincm_tpu.ops.splat_banded import (
+        _precompute,
+        events_to_pdf_frame_pallas_banded,
+    )
+
+    h, w = BSENSOR
+    n = 100000
+    xs0 = rng.uniform(0, w - 1, n).astype(np.float32)
+    ys0 = rng.uniform(0, h - 1, n).astype(np.float32)
+    ts0 = rng.uniform(0, 1, n).astype(np.float32)
+    xs_t, ys_t, _, _ = tile_sort_events(xs0, ys0, ts0, np.zeros(n, bool), h)
+    wy = np.asarray(ys_t) + rng.uniform(-3, 3, len(ys_t)).astype(np.float32)
+    wx = np.asarray(xs_t) + rng.uniform(-3, 3, len(xs_t)).astype(np.float32)
+    pad = ~np.isfinite(np.asarray(ys_t))
+    wy[pad] = np.nan
+    wx[pad] = np.nan
+    jwx, jwy = jnp.asarray(wx), jnp.asarray(wy)
+
+    _, _, ok_rows, _, _, ok_u = _precompute(jwx, jwy, BSENSOR, 3, True)
+    assert bool(ok_rows[128]) and bool(ok_u)
+
+    a = events_to_pdf_frame_pallas_banded(jwx, jwy, BSENSOR, 3, True, True)
+    b = events_to_pdf_frame(jwx, jwy, BSENSOR)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+    cot = jnp.asarray(rng.normal(0, 1, BSENSOR).astype(np.float32))
+
+    def f_banded(wx_):
+        return (
+            events_to_pdf_frame_pallas_banded(wx_, jwy, BSENSOR, 3, True, True)
+            * cot
+        ).sum()
+
+    def f_xla(wx_):
+        return (events_to_pdf_frame(wx_, jwy, BSENSOR) * cot).sum()
+
+    g1 = jax.grad(f_banded)(jwx)
+    g2 = jax.grad(f_xla)(jwx)
+    m = np.isfinite(wx)
+    np.testing.assert_allclose(
+        np.asarray(g1)[m], np.asarray(g2)[m], rtol=1e-3, atol=1e-5
+    )
