@@ -12,8 +12,13 @@ amortizes over many iterations so the ~30 ms relay round-trip vanishes.
 """
 
 import json
+import os
 import sys
 import time
+
+# kernel compiles through the relayed backend are slow (minutes for the
+# banded-candidate cond tree); cache them across runs
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/eincm_jax_cache")
 
 import jax
 import jax.numpy as jnp
