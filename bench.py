@@ -17,8 +17,12 @@ import sys
 import time
 
 # kernel compiles through the relayed backend are slow (minutes for the
-# banded-candidate cond tree); cache them across runs
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/eincm_jax_cache")
+# banded-candidate cond tree); cache them across runs, repo-local so the
+# cache survives for whoever runs the bench next
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
 
 import jax
 import jax.numpy as jnp
