@@ -168,6 +168,16 @@ class ScipyBoundedMinimize:
             success: bool
             iter_num: int
 
+        # Honest state instead of an unconditional success=True: the
+        # golden-section solve always performs its full probe schedule
+        # (iter_num = maxiter bracketing steps), and "success" means the
+        # solve produced a finite optimum inside the bounds — the only
+        # failure mode a derivative-free bracketing method has (a scipy
+        # L-BFGS-B failure signal has no analogue here).
+        w_f = float(jnp.asarray(w))
+        f_ok = bool(jnp.isfinite(jnp.asarray(f)))
+        success = f_ok and lo <= w_f <= hi
         return OptStep(
-            params=w, state=_State(fun_val=f, success=True, iter_num=self.maxiter)
+            params=w,
+            state=_State(fun_val=f, success=success, iter_num=self.maxiter),
         )

@@ -293,3 +293,16 @@ class TestJaxoptCompat:
         )
         res = solver.run(0.5, (0.0, 1.0))
         assert np.isclose(float(res.params), 0.7, atol=1e-4)
+        # honest state reporting: a finite in-bounds optimum is a success
+        # with the full bracketing schedule counted
+        assert bool(res.state.success)
+        assert int(res.state.iter_num) == 40
+
+    def test_scipy_bounded_minimize_nan_objective_not_success(self):
+        from eincm_tpu.models.compat import ScipyBoundedMinimize
+
+        solver = ScipyBoundedMinimize(
+            fun=lambda w: w * jnp.nan, maxiter=10
+        )
+        res = solver.run(0.5, (0.0, 1.0))
+        assert not bool(res.state.success)
