@@ -22,7 +22,11 @@ from typing import Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from eincm_tpu.models.loss import LossParams, compute_loss_objectives
+from eincm_tpu.models.loss import (
+    LossParams,
+    compute_loss_objectives,
+    compute_window_statics,
+)
 from eincm_tpu.ops.splat import events_to_pdf_frame
 
 from eincm_tpu.evals.flow_metrics import sparse_flow_error
@@ -44,6 +48,7 @@ def _eval_bundle(
     gt_flow: jax.Array,
     err_mask: jax.Array,
     pvec: jax.Array,
+    wstat,
     sensor_size: Tuple[int, int],
     has_gt: bool,
     has_mask: bool,
@@ -51,10 +56,13 @@ def _eval_bundle(
     """One-dispatch evaluation: returns (small host bundle, device loss_obj).
 
     `pvec` carries (alpha, beta, gamma, delta) as traced values so one
-    compilation serves every objective weighting.
+    compilation serves every objective weighting. `wstat` is the window's
+    precomputed zero-warp statistics (WindowStatics) — theta-independent, so
+    one computation serves every iterate evaluated against this window.
     """
     objs = compute_loss_objectives(
-        theta_array, xs, ys, ts, edges, edge_ts, sensor_size
+        theta_array, xs, ys, ts, edges, edge_ts, sensor_size,
+        window_statics=wstat,
     )
     mean_rel_contrast = objs["rel_contrasts"].mean()
     mean_rel_corr = objs["rel_correlations"].mean()
@@ -99,31 +107,14 @@ def _eval_bundle(
     return small, objs
 
 
-def evaluate_theta_array(
-    theta_array: jax.Array,
-    eval_xs: jax.Array,
-    eval_ys: jax.Array,
-    eval_ts: jax.Array,
-    edges: jax.Array,
-    edge_ts: jax.Array,
-    gt_flow: Optional[jax.Array],
-    params: LossParams,
-    sensor_size: Tuple[int, int],
-    err_eval_event_mask: Optional[jax.Array] = None,
-) -> Tuple[str, str, Dict, Dict]:
-    """Evaluate a full-sensor theta over one window.
+def _bucket_pad_events(eval_xs, eval_ys, eval_ts, dtype):
+    """NaN-pad eval events to a multiple of 8192 (idempotent).
 
-    Returns:
-        (time_str, eval_str, evals, loss_objectives) like the reference.
-        `loss_objectives` values remain on device (the warped coordinate
-        arrays are large); everything in `evals` is host-resident.
+    The raw eval slices vary in length per window and would recompile the
+    jitted bundle every time; padded events are sanitized away by every
+    consumer. Already-padded arrays (length a multiple of 8192, right dtype)
+    pass through unchanged, so callers may pre-pad once per window.
     """
-    has_gt = gt_flow is not None
-    has_mask = err_eval_event_mask is not None
-    dtype = theta_array.dtype
-    # Bucket-pad the eval events to a multiple of 8192 with NaNs: the raw
-    # eval slices vary in length per window and would recompile the jitted
-    # bundle every time (padded events are sanitized away by every consumer).
     e = eval_xs.shape[0]
     bucket = max(8192, -(-e // 8192) * 8192)
     # cast BEFORE the padding branch: an exact-multiple window must not
@@ -136,6 +127,63 @@ def evaluate_theta_array(
         eval_xs = jnp.concatenate([eval_xs, fill])
         eval_ys = jnp.concatenate([eval_ys, fill])
         eval_ts = jnp.concatenate([eval_ts, fill])
+    return eval_xs, eval_ys, eval_ts
+
+
+def prepare_eval_inputs(
+    eval_xs: jax.Array,
+    eval_ys: jax.Array,
+    eval_ts: jax.Array,
+    edges: jax.Array,
+    sensor_size: Tuple[int, int],
+    dtype=jnp.float32,
+):
+    """Pad one window's eval events and compute its zero-warp statistics once.
+
+    Returns (padded_xs, padded_ys, padded_ts, window_statics) to thread into
+    repeated `evaluate_theta_array` calls over the same window (the
+    per-iterate trajectory evaluation would otherwise re-splat the full
+    event window's theta-independent statistics for every recorded iterate).
+    """
+    xs, ys, ts = _bucket_pad_events(eval_xs, eval_ys, eval_ts, dtype)
+    wstat = compute_window_statics(xs, ys, edges, sensor_size)
+    return xs, ys, ts, wstat
+
+
+def evaluate_theta_array(
+    theta_array: jax.Array,
+    eval_xs: jax.Array,
+    eval_ys: jax.Array,
+    eval_ts: jax.Array,
+    edges: jax.Array,
+    edge_ts: jax.Array,
+    gt_flow: Optional[jax.Array],
+    params: LossParams,
+    sensor_size: Tuple[int, int],
+    err_eval_event_mask: Optional[jax.Array] = None,
+    window_statics=None,
+) -> Tuple[str, str, Dict, Dict]:
+    """Evaluate a full-sensor theta over one window.
+
+    Returns:
+        (time_str, eval_str, evals, loss_objectives) like the reference.
+        `loss_objectives` values remain on device (the warped coordinate
+        arrays are large); everything in `evals` is host-resident.
+
+    `window_statics` (from `prepare_eval_inputs`, together with the padded
+    events) reuses the theta-independent zero-warp statistics across
+    repeated evaluations of one window.
+    """
+    has_gt = gt_flow is not None
+    has_mask = err_eval_event_mask is not None
+    dtype = theta_array.dtype
+    eval_xs, eval_ys, eval_ts = _bucket_pad_events(
+        eval_xs, eval_ys, eval_ts, dtype
+    )
+    if window_statics is None:
+        window_statics = compute_window_statics(
+            eval_xs, eval_ys, edges, sensor_size
+        )
     if gt_flow is None:
         gt_flow = jnp.zeros((1, 1, 2), dtype)
     if err_eval_event_mask is None:
@@ -145,7 +193,7 @@ def evaluate_theta_array(
     )
     small, loss_obj = _eval_bundle(
         theta_array, eval_xs, eval_ys, eval_ts, edges, edge_ts,
-        gt_flow, err_eval_event_mask, pvec,
+        gt_flow, err_eval_event_mask, pvec, window_statics,
         sensor_size, has_gt, has_mask,
     )
     # ONE host transfer for the whole (small) bundle

@@ -399,18 +399,35 @@ class EINCMExperiment:
                 mask[190:] = False
                 mask = jnp.asarray(mask)
 
+            # pad the eval events and compute the window's theta-independent
+            # statistics ONCE; the final evaluation and every recorded
+            # iterate below share them (the intermediate path previously
+            # re-splatted the full event window per iterate)
+            from eincm_tpu.evals.theta_metrics import prepare_eval_inputs
+
             ev = staged.eval_events
-            time_str, eval_str, evals, _ = evaluate_theta_array(
-                theta_full,
+            sensor = tuple(self.cfg.dataset.sensor_size)
+            exs, eys, ets, wstat = prepare_eval_inputs(
                 jnp.asarray(ev["x"], jnp.float32),
                 jnp.asarray(ev["y"], jnp.float32),
                 jnp.asarray(ev["t"], jnp.float32),
                 staged.window.edges,
+                sensor,
+                dtype=theta_full.dtype,
+            )
+            eval_inputs = (exs, eys, ets, wstat)
+            time_str, eval_str, evals, _ = evaluate_theta_array(
+                theta_full,
+                exs,
+                eys,
+                ets,
+                staged.window.edges,
                 staged.window.edge_ts,
                 None if gt is None else jnp.asarray(gt, jnp.float32),
                 self.cfg.loss_params,
-                tuple(self.cfg.dataset.sensor_size),
+                sensor,
                 err_eval_event_mask=mask,
+                window_statics=wstat,
             )
             self.eval_results[key] = {
                 "evals": {k: np.asarray(v) for k, v in evals.items()},
@@ -418,7 +435,9 @@ class EINCMExperiment:
                 "eval_ts_units": staged.eval_ts_units,
             }
             if self.cfg.phases.eval_intermediate:
-                inter = self._eval_intermediate(key, staged, gt, mask)
+                inter = self._eval_intermediate(
+                    key, staged, gt, mask, eval_inputs
+                )
                 if inter is not None:
                     self.eval_results[key]["intermediate"] = inter
             log(f"{time_str} {key}: {eval_str.strip()}")
@@ -430,13 +449,16 @@ class EINCMExperiment:
         self.write_scores(scores)
         return self.eval_results
 
-    def _eval_intermediate(self, key, staged, gt, mask):
+    def _eval_intermediate(self, key, staged, gt, mask, eval_inputs):
         """Evaluate every recorded level-0 BFGS iterate of one window.
 
         Post-hoc equivalent of the reference's eval-during-solve callback
         (src/eincm/callbacks.py:140-149): the solver records the full theta
         trajectory on device (models/bfgs.py BFGSHistory); here each iterate
         is upscaled and run through the jitted evaluation bundle.
+        `eval_inputs` is the (padded events, window statics) tuple computed
+        once per window by the caller — the theta-independent zero-warp
+        splat is NOT redone per iterate.
         """
         rec = self.opt_results[key]["solver_intermediate_results"]["theta_opt"]
         thetas = rec.get("thetas", {}).get("pyr_lvl_0")
@@ -448,7 +470,7 @@ class EINCMExperiment:
             return None
         shape = (*self.solver_cfg.level_shape(0), 2)
         sensor = tuple(self.cfg.dataset.sensor_size)
-        ev = staged.eval_events
+        exs, eys, ets, wstat = eval_inputs
         per_iter: Dict[str, list] = {}
         for it in range(thetas.shape[0]):
             theta_full = scale_theta_to_sensor_size(
@@ -458,15 +480,16 @@ class EINCMExperiment:
             )
             _, _, evals_i, _ = evaluate_theta_array(
                 theta_full,
-                jnp.asarray(ev["x"], jnp.float32),
-                jnp.asarray(ev["y"], jnp.float32),
-                jnp.asarray(ev["t"], jnp.float32),
+                exs,
+                eys,
+                ets,
                 staged.window.edges,
                 staged.window.edge_ts,
                 None if gt is None else jnp.asarray(gt, jnp.float32),
                 self.cfg.loss_params,
                 sensor,
                 err_eval_event_mask=mask,
+                window_statics=wstat,
             )
             for k, v in evals_i.items():
                 arr = np.asarray(v)

@@ -215,14 +215,21 @@ def compute_loss_objectives(
     edges: jax.Array,
     edge_ts: jax.Array,
     sensor_size: Tuple[int, int],
+    window_statics: WindowStatics | None = None,
 ) -> Dict[str, jax.Array]:
     """Full objective bundle for a full-sensor theta — evaluation entry point.
 
     Mirrors reference `compute_loss_objectives` (src/eincm/losses.py:49-105),
     including the theta-independent zero-warp statistics and the
-    theta-divergence diagnostic.
+    theta-divergence diagnostic. `window_statics` may be supplied to reuse
+    the zero-warp statistics across repeated evaluations of one window
+    (e.g. per-iterate evaluation of a recorded solve trajectory).
     """
-    statics = compute_window_statics(xs, ys, edges, sensor_size)
+    statics = (
+        window_statics
+        if window_statics is not None
+        else compute_window_statics(xs, ys, edges, sensor_size)
+    )
     objs = _theta_objectives(theta, xs, ys, ts, edges, edge_ts, statics, sensor_size)
     objs["theta_divergence"] = per_pix_theta_divergence(theta)
     return objs

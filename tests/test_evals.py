@@ -104,3 +104,36 @@ def test_evaluate_theta_array_bundle(rng):
     assert "total_loss" in e_str and "FWL" in e_str and "AEE" in e_str
     # zero theta -> zero flow -> no valid pred pixels -> AEE 0 with n_ee 0
     assert int(evals["n_ee"]) == 0
+
+
+def test_evaluate_theta_array_with_prepared_inputs_identical(rng):
+    """prepare_eval_inputs (pad once + hoisted window statics) must give
+    bit-identical metrics to the self-contained path — the per-iterate
+    trajectory evaluation reuses one WindowStatics across all iterates."""
+    from eincm_tpu.evals.theta_metrics import prepare_eval_inputs
+
+    H, W = 24, 32
+    n = 300
+    xs = jnp.asarray(rng.integers(0, W, n).astype(np.float32))
+    ys = jnp.asarray(rng.integers(0, H, n).astype(np.float32))
+    ts = jnp.asarray(rng.uniform(0, 1, n).astype(np.float32))
+    edges = jnp.asarray(rng.uniform(0, 1, (2, H, W)).astype(np.float32))
+    edge_ts = jnp.array([0.0, 1.0], jnp.float32)
+    gt = jnp.asarray(rng.normal(0, 2, (H, W, 2)).astype(np.float32))
+    theta = jnp.asarray(rng.normal(0, 1, (H, W, 2)).astype(np.float32))
+    params = LossParams(alpha=60.0, beta=60.0, gamma=0.01, delta=0.1)
+
+    _, _, evals_ref, _ = evaluate_theta_array(
+        theta, xs, ys, ts, edges, edge_ts, gt, params, (H, W)
+    )
+    pxs, pys, pts, wstat = prepare_eval_inputs(
+        xs, ys, ts, edges, (H, W), dtype=theta.dtype
+    )
+    # reuse across two calls, like the intermediate-trajectory path does
+    for _ in range(2):
+        _, _, evals_new, _ = evaluate_theta_array(
+            theta, pxs, pys, pts, edges, edge_ts, gt, params, (H, W),
+            window_statics=wstat,
+        )
+        for k, v in evals_ref.items():
+            assert np.array_equal(np.asarray(v), np.asarray(evals_new[k])), k
