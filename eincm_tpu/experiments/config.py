@@ -141,10 +141,21 @@ class SolverSettings:
     # 'armijo' (default; 1.6x faster, accuracy-validated vs wolfe — PARITY.md)
     # | 'wolfe' (strong Wolfe, scipy-parity semantics)
     line_search: str = "armijo"
+    # tail safeguard for the armijo default (serial solve path): when a
+    # window's level-0 optimum ends worse than simply keeping the prior
+    # window's theta (or the solve hit NaN), re-solve that window with
+    # strong Wolfe and keep the better result. Costs one prior-loss
+    # evaluation per window plus a per-window sync; rescues are rare
+    # (<10% by design — see PARITY.md validation)
+    armijo_rescue: bool = True
     # record per-iteration (theta, loss) trajectories on device — the
     # equivalent of the reference's collecting callbacks
     # (src/eincm/callbacks.py:100-364); required by phases.eval_intermediate
     collect_intermediate: bool = False
+    # live per-iteration loss printing during a solve (jax.debug.callback) —
+    # the reference's printing callback (src/eincm/callbacks.py:131-151);
+    # opt-in: each iteration then pays a host hop
+    progress_heartbeat: bool = False
     # IWE splat kernel: 'pallas_banded' (row-banded, wants row-sorted
     # staging, auto-falls-back when banding is invalid; 1.5-1.6x the
     # full-height kernel at DSEC scale) | 'pallas' | 'xla' | 'banded'
@@ -251,6 +262,7 @@ class ExperimentConfig:
             line_search=s.line_search,
             collect_intermediate=s.collect_intermediate
             or self.phases.eval_intermediate,
+            progress_heartbeat=s.progress_heartbeat,
         )
 
     # ------------------------------------------------------------- serialize

@@ -65,6 +65,8 @@ class EINCMExperiment:
         self._prior_pyr = None
         self._is_first = True
         self._ckpt_idx = -1
+        self._rescue_solver = None  # lazily-compiled wolfe variant
+        self.n_rescued = 0
 
     # ------------------------------------------------------------------ prep
 
@@ -169,28 +171,39 @@ class EINCMExperiment:
             staged = self.stage(ds)
             return staged._replace(window=jax.device_put(staged.window))
 
+        # armijo tail safeguard: re-solve anomalous windows with strong
+        # Wolfe (see _rescue_window). The anomaly check reads two scalars
+        # per window (a sync), so it is gated on the rescue being active.
+        rescue_on = (
+            self.cfg.solver.line_search == "armijo"
+            and self.cfg.solver.armijo_rescue
+        )
+
         # One-window readback lag: dispatch window i+1 (async, queues on
         # device behind i via the prior-pyramid dependency) BEFORE fetching
         # window i's results, so host transfers overlap device compute.
         prefetcher = StagingPrefetcher(dl, indices, stage_for_solve, depth=2)
         pending = None
         for idx, staged in prefetcher:
-            # repeats deliberately feed the window's own result back as the
-            # prior and drop first-sample semantics after the first solve —
-            # exactly the reference's behavior (solver.py:254-256 updates
-            # prior_theta_pyr and _IS_FIRST_SAMPLE at the END of solve())
-            for _ in range(max(1, self.cfg.phases.n_repeat_solve)):
-                res = self.window_solver(
-                    staged.window, self._prior_pyr, is_first=self._is_first
-                )
-                self._prior_pyr = res.final_theta_pyr
-                self._is_first = False
+            prior_before, first_before = self._prior_pyr, self._is_first
+            res = self._solve_one(
+                self.window_solver, staged, prior_before, first_before
+            )
+            if rescue_on and not first_before and self._anomalous(res):
+                res = self._rescue_window(idx, staged, prior_before, res)
+            self._prior_pyr = res.final_theta_pyr
+            self._is_first = False
 
             if pending is not None:
                 finalize(*pending)
             pending = (idx, res)
         if pending is not None:
             finalize(*pending)
+        if self.n_rescued:
+            warn(
+                f"armijo rescue engaged on {self.n_rescued}/{len(indices)} "
+                "windows (re-solved with strong Wolfe)"
+            )
 
         validate_opt_results(self.opt_results, self.solver_cfg.n_pyr_lvls)
         save_opt_results(
@@ -304,45 +317,64 @@ class EINCMExperiment:
         )
 
         dl = self._prepare_dataloader()
-        if self.cfg.phases.run_from_checkpoint:
-            log(
-                "parallel windows mode ignores run_from_checkpoint "
-                "(the whole sequence solves as one sharded batch)"
-            )
-        if self.cfg.phases.checkpoint_every_percent:
-            log(
-                "parallel windows mode takes no mid-sequence checkpoints "
-                "(the whole sequence solves as one sharded batch)"
-            )
-        # honor run_idx_range(s); checkpoint resume has no meaning here
-        self._ckpt_idx = -1
+        # checkpoint resume: restores solved records, skips their indices,
+        # and carries the last solved window's final pyramid as the boundary
+        # prior of the first remaining super-step
+        self._maybe_resume()
+        boundary = None if self._is_first else self._prior_pyr
         indices = [i for i in range(len(dl)) if not self._skip_idx(i)]
         mesh = make_window_mesh()
         n_dev = mesh.devices.size
-        batch, batch_n = self._stream_sharded_batch(dl, indices, mesh)
         n = len(indices)
 
         mode = self.cfg.phases.parallel_mode
-        if mode == "sequence_shard":
-            res, final = sequence_shard_solve(
-                self.cfg.solver_config(), batch, mesh
-            )
-        elif mode == "two_pass":
-            res, final = two_pass_sequence_solve(
-                self.cfg.solver_config(), batch, mesh
-            )
-        else:
+        if mode not in ("sequence_shard", "two_pass"):
             raise ValueError(f"unknown parallel_mode {mode!r}")
 
-        # ONE host transfer for the whole result tree, then numpy slicing —
-        # per-window sliced fetches on a relayed backend are ~50 tiny
-        # round-trips per window (see outputs.solve_result_to_record)
-        res = jax.device_get(res._replace(final_theta_pyr=tuple(final)))
-        for i, ds_idx in enumerate(indices):
-            rec = jax.tree_util.tree_map(lambda x: x[i], res)
-            self.opt_results[f"datasample_idx_{ds_idx}"] = (
-                solve_result_to_record(rec)
+        # Mid-sequence checkpointing (exp_mgr.py:511-519 parity for the
+        # parallel path): the sequence solves in super-steps of ~N% of the
+        # windows (rounded up to a device-count multiple), the prior chain
+        # carried across super-steps through `boundary`, a checkpoint saved
+        # after each. 0/>=100 percent -> one super-step (no checkpoints).
+        pct = self.cfg.phases.checkpoint_every_percent
+        total = len(dl)
+        if pct and 0 < pct < 100 and n > n_dev:
+            step = max(n_dev, -(-int(np.ceil(total * pct / 100.0)) // n_dev) * n_dev)
+        else:
+            step = max(n, 1)
+
+        cfg_solver = self.cfg.solver_config()
+        for start in range(0, n, step):
+            chunk_idx = indices[start : start + step]
+            batch, _ = self._stream_sharded_batch(dl, chunk_idx, mesh)
+            if mode == "sequence_shard":
+                res, final = sequence_shard_solve(
+                    cfg_solver, batch, mesh, boundary_prior=boundary
+                )
+            else:
+                res, final = two_pass_sequence_solve(
+                    cfg_solver, batch, mesh, boundary_prior=boundary
+                )
+
+            # ONE host transfer for the whole result tree, then numpy
+            # slicing — per-window sliced fetches on a relayed backend are
+            # ~50 tiny round-trips per window (outputs.solve_result_to_record)
+            res = jax.device_get(res._replace(final_theta_pyr=tuple(final)))
+            for i, ds_idx in enumerate(chunk_idx):
+                rec = jax.tree_util.tree_map(lambda x: x[i], res)
+                self.opt_results[f"datasample_idx_{ds_idx}"] = (
+                    solve_result_to_record(rec)
+                )
+            # prior-chain carry = final pyramid of the last REAL window
+            # (padded repeats beyond len(chunk_idx) are discarded)
+            last = self.opt_results[f"datasample_idx_{chunk_idx[-1]}"]
+            pyr = last["solver_final_results"]["final_theta_pyr"]
+            boundary = tuple(
+                jnp.asarray(pyr[f"pyr_lvl_{l}"])
+                for l in range(self.solver_cfg.n_pyr_lvls)
             )
+            if start + step < n:
+                self.save_checkpoint(chunk_idx[-1], total)
 
         validate_opt_results(self.opt_results, self.solver_cfg.n_pyr_lvls)
         save_opt_results(
@@ -352,7 +384,56 @@ class EINCMExperiment:
             f"opt_results.npz saved ({n} windows, {mode} over "
             f"{n_dev} device(s))"
         )
+        if self.cfg.phases.delete_checkpoints_at_end:
+            for p in self.ckpt_dir.glob("checkpoint_*.npz"):
+                p.unlink()
         return self.opt_results
+
+    def _solve_one(self, solver, staged, prior, is_first):
+        """Run one window (incl. n_repeat_solve repeats).
+
+        Repeats deliberately feed the window's own result back as the prior
+        and drop first-sample semantics after the first solve — exactly the
+        reference's behavior (solver.py:254-256 updates prior_theta_pyr and
+        _IS_FIRST_SAMPLE at the END of solve()).
+        """
+        for _ in range(max(1, self.cfg.phases.n_repeat_solve)):
+            res = solver(staged.window, prior, is_first=is_first)
+            prior = res.final_theta_pyr
+            is_first = False
+        return res
+
+    @staticmethod
+    def _anomalous(res) -> bool:
+        """An armijo window whose level-0 optimum is worse than keeping the
+        prior window's theta (or that hit NaN) is anomalous."""
+        f_opt = float(res.theta_opt_states[0].fun_val)
+        f_prior = float(res.prior_loss_lvl0)
+        status = int(res.theta_opt_states[0].status)
+        return status == 3 or not (f_opt <= f_prior)
+
+    def _rescue_window(self, idx, staged, prior, armijo_res):
+        """Re-solve an anomalous armijo window with strong Wolfe; keep the
+        better of the two (by level-0 pre-handover loss). The Wolfe solver
+        variant compiles lazily on the first rescue."""
+        if self._rescue_solver is None:
+            import dataclasses
+
+            self._rescue_solver = make_window_solver(
+                dataclasses.replace(self.solver_cfg, line_search="wolfe")
+            )
+        wolfe_res = self._solve_one(self._rescue_solver, staged, prior, False)
+        f_a = float(armijo_res.theta_opt_states[0].fun_val)
+        f_w = float(wolfe_res.theta_opt_states[0].fun_val)
+        self.n_rescued += 1
+        warn(
+            f"[{idx}] armijo anomaly (lvl-0 f={f_a:.6f} vs prior "
+            f"f={float(armijo_res.prior_loss_lvl0):.6f}); wolfe rescue "
+            f"f={f_w:.6f}"
+        )
+        if f_w <= f_a or not np.isfinite(f_a):
+            return wolfe_res
+        return armijo_res
 
     def save_checkpoint(self, idx: int, total: int):
         path = self.ckpt_dir / f"checkpoint_{idx}_{total}.npz"

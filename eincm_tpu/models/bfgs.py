@@ -296,6 +296,7 @@ def minimize_bfgs(
     unit_initial_step: bool = False,
     line_search: str = "wolfe",
     fun: "Callable[[jax.Array], jax.Array] | None" = None,
+    heartbeat_fn: "Callable | None" = None,
 ):
     """Dense-Hessian BFGS, jittable; semantics follow scipy's 'BFGS'.
 
@@ -312,6 +313,11 @@ def minimize_bfgs(
             pass instead of forward+backward; the gradient is evaluated once
             at the accepted point; BFGS updates are curvature-skipped).
         fun: value-only objective, required for 'armijo'.
+        heartbeat_fn: optional host callback (iter: int32, f: scalar) fired
+            once per iteration via `jax.debug.callback` — the on-device
+            replacement for the reference's per-iteration loss printing
+            (src/eincm/callbacks.py:131-151). Each firing is a host hop;
+            keep it opt-in on relayed backends.
 
     Returns:
         BFGSResult, or (BFGSResult, BFGSHistory) when record_history.
@@ -407,6 +413,9 @@ def minimize_bfgs(
             hist_fs = s.hist_fs.at[s.k_total].set(f_new)
         else:
             hist_xs, hist_fs = s.hist_xs, s.hist_fs
+
+        if heartbeat_fn is not None:
+            jax.debug.callback(heartbeat_fn, s.k_total + 1, f_new)
 
         return _BFGSState(
             x=x_new,

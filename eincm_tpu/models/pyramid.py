@@ -106,6 +106,10 @@ class SolverConfig:
     # on-device equivalent of the reference's collecting solver callbacks
     # (src/eincm/callbacks.py:100-221)
     collect_intermediate: bool = False
+    # live per-iteration loss printing via jax.debug.callback — the opt-in
+    # equivalent of the reference's printing callback
+    # (src/eincm/callbacks.py:131-151); each firing is a host hop
+    progress_heartbeat: bool = False
 
     def __post_init__(self):
         bases = self.pyramid_bases
@@ -165,6 +169,11 @@ class SolveResult(NamedTuple):
     # per level, when collected AND the weight was solved (else None): the
     # golden-section probe trajectory of the handover solve
     handover_histories: Tuple = ()
+    # loss of the PRIOR window's level-0 theta under THIS window's objective
+    # (+inf on the first window). A solve whose level-0 optimum is worse than
+    # simply keeping the prior is anomalous — the signal behind the manager's
+    # armijo->wolfe rescue (one extra loss evaluation per window).
+    prior_loss_lvl0: jax.Array = None
 
 
 def _solve_theta_level(
@@ -208,6 +217,11 @@ def _solve_theta_level(
             wstat,
         )
 
+    heartbeat = None
+    if cfg.progress_heartbeat:
+        def heartbeat(k, f, _lvl=lvl):
+            print(f"  [lvl {_lvl}] iter {int(k):3d}  loss {float(f):.6f}")
+
     out = minimize_bfgs(
         fun_and_grad,
         theta0.reshape(-1),
@@ -218,6 +232,7 @@ def _solve_theta_level(
         record_history=cfg.collect_intermediate,
         line_search=cfg.line_search,
         fun=fun_only,
+        heartbeat_fn=heartbeat,
     )
     if cfg.collect_intermediate:
         res, hist = out
@@ -315,6 +330,14 @@ def solve_window(
 
     prior = stage_prior_pyramid(cfg, prior_pyr)
 
+    if is_first_sample:
+        prior_loss0 = jnp.asarray(jnp.inf, prior[0].dtype)
+    else:
+        prior_loss0 = solver_loss(
+            prior[0], sample.xs, sample.ys, sample.ts, sample.edges,
+            sample.edge_ts, cfg.params, 0, cfg.loss_statics, wstat,
+        )
+
     pre_opt: list = [None] * n
     opt: list = [None] * n
     final: list = [None] * n
@@ -374,6 +397,7 @@ def solve_window(
         handover_histories=(
             tuple(ho_histories) if cfg.collect_intermediate else ()
         ),
+        prior_loss_lvl0=prior_loss0,
     )
 
 

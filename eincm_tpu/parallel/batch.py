@@ -123,6 +123,7 @@ def sequence_shard_solve(
     cfg: SolverConfig,
     batch: WindowSample,
     mesh: Mesh,
+    boundary_prior: Optional[Tuple[jax.Array, ...]] = None,
 ) -> Tuple[SolveResult, Tuple[jax.Array, ...]]:
     """Sequence-sharded solve with ppermute boundary prior exchange.
 
@@ -146,6 +147,13 @@ def sequence_shard_solve(
     everywhere; the only deviation from the sequential reference schedule is
     that a chunk's boundary prior is its neighbor's pass-1 (not pass-2)
     final. Windows must be ordered; batch size must divide the mesh.
+
+    `boundary_prior` (one window's theta pyramid) seeds the GLOBAL first
+    window: it is the prior-chain carry from an earlier super-step when a
+    long sequence is solved in checkpointable chunks (exp_mgr.py:511-519
+    parity for the parallel path). With it, the first window uses normal
+    handover semantics (pass 2 everywhere) instead of first-sample
+    semantics.
 
     Returns:
         (SolveResult with leading window axis, final theta pyramids).
@@ -186,18 +194,27 @@ def sequence_shard_solve(
         return res, last_prior
 
     perm = [(i, i + 1) for i in range(n_dev - 1)]
+    has_boundary = boundary_prior is not None
 
-    def per_device(local_batch):
+    def per_device(local_batch, bp0):
         # pass 1: chunk-first windows run first-sample semantics
         res1, chunk_final = chunk_chain(
             local_batch, zero_prior, first_is_global_first=True
         )
         # boundary exchange: chunk i's final -> device i+1 (device 0
-        # receives zeros; its pass-2 result is discarded below)
+        # receives zeros; with a carried super-step boundary prior, device 0
+        # uses that instead and takes pass 2 like everyone else)
         boundary = jax.tree_util.tree_map(
             lambda x: jax.lax.ppermute(x, axis_name="windows", perm=perm),
             chunk_final,
         )
+        if has_boundary:
+            is_dev0 = jax.lax.axis_index("windows") == 0
+            boundary = jax.tree_util.tree_map(
+                lambda recv, carry: jnp.where(is_dev0, carry, recv),
+                boundary,
+                bp0,
+            )
         # pass 2: re-run the chunk chain seeded by the received prior
         res2, _ = chunk_chain(
             local_batch, boundary, first_is_global_first=False
@@ -205,26 +222,35 @@ def sequence_shard_solve(
         return res1, res2
 
     specs = P("windows")
+    bp_arg = (
+        boundary_prior
+        if has_boundary
+        else tuple(jnp.zeros_like(z) for z in zero_prior)
+    )
     fn = jax.jit(
         jax.shard_map(
             per_device,
             mesh=mesh,
-            in_specs=(specs,),
+            in_specs=(specs, P()),
             out_specs=(specs, specs),
             check_vma=False,
         )
     )
-    res1, res2 = fn(batch)
+    res1, res2 = fn(batch, bp_arg)
 
-    # device 0 (global windows [0, chunk)) keeps pass 1; the rest pass 2
-    idx = jnp.arange(b)
-    keep1 = idx < chunk
+    if has_boundary:
+        # every chunk (incl. device 0) was seeded with a real prior
+        res = res2
+    else:
+        # device 0 (global windows [0, chunk)) keeps pass 1; the rest pass 2
+        idx = jnp.arange(b)
+        keep1 = idx < chunk
 
-    def pick(a, b_):
-        m = keep1.reshape((b,) + (1,) * (a.ndim - 1))
-        return jnp.where(m, a, b_)
+        def pick(a, b_):
+            m = keep1.reshape((b,) + (1,) * (a.ndim - 1))
+            return jnp.where(m, a, b_)
 
-    res = jax.tree_util.tree_map(pick, res1, res2)
+        res = jax.tree_util.tree_map(pick, res1, res2)
     return res, res.final_theta_pyr
 
 
@@ -232,17 +258,21 @@ def two_pass_sequence_solve(
     cfg: SolverConfig,
     batch: WindowSample,
     mesh: Optional[Mesh] = None,
+    boundary_prior: Optional[Tuple[jax.Array, ...]] = None,
 ) -> Tuple[SolveResult, Tuple[jax.Array, ...]]:
     """Whole-sequence solve with the two-pass handover schedule.
 
     Pass 1 solves every window in parallel without priors. Pass 2 shifts the
     pass-1 final pyramids by one window (window i gets window i-1's result as
     its prior) and re-solves in parallel with handover enabled. Window 0 keeps
-    its pass-1 result (first-sample semantics, src/eincm/solver.py:305-306).
+    its pass-1 result (first-sample semantics, src/eincm/solver.py:305-306) —
+    unless `boundary_prior` (the prior-chain carry from an earlier
+    checkpointed super-step) is given, in which case window 0's pass-2 prior
+    is that carry and its pass-2 result is kept like every other window's.
 
     Returns:
-        (SolveResult with window 0 spliced from pass 1, final theta
-        pyramids per window).
+        (SolveResult with window 0 spliced from pass 1 when it is the global
+        first window, final theta pyramids per window).
     """
     solve = (
         partial(solve_window_batch_sharded, cfg, mesh=mesh)
@@ -252,13 +282,21 @@ def two_pass_sequence_solve(
 
     pass1 = solve(batch, is_first=True)
 
-    # priors for window i = pass-1 result of window i-1; window 0 self-prior
-    # (its handover result is discarded below).
+    # priors for window i = pass-1 result of window i-1; window 0 gets the
+    # super-step carry, or itself (its handover result discarded below).
     prior_pyrs = tuple(
         jnp.concatenate([lvl[:1], lvl[:-1]], axis=0)
         for lvl in pass1.final_theta_pyr
     )
+    if boundary_prior is not None:
+        prior_pyrs = tuple(
+            lvl.at[0].set(jnp.asarray(bp, lvl.dtype))
+            for lvl, bp in zip(prior_pyrs, boundary_prior)
+        )
     pass2 = solve(batch, prior_pyrs=prior_pyrs, is_first=False)
+
+    if boundary_prior is not None:
+        return pass2, pass2.final_theta_pyr
 
     # window 0 keeps its ENTIRE pass-1 record (thetas, opt states, losses,
     # handover weights) — its pass-2 re-solve used itself as prior and is

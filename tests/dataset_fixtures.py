@@ -1,0 +1,166 @@
+"""Tiny but complete on-disk dataset trees for loader and full-pipeline tests.
+
+Each builder writes the exact directory/file layout the corresponding loader
+expects (the datasample contracts of dsec_loader.py:327-347,
+mvsec_loader.py:309-319, ecd_loader.py:124-131) with synthetic content, so
+the real CLI can run SOLVE -> EVAL -> PLOT -> submission export against it.
+"""
+
+import numpy as np
+
+
+def make_mvsec_tree(root, seed=0):
+    """Minimal MVSEC outdoor_day2 tree: hdf5 data + Flow GT npz."""
+    import h5py
+
+    rng = np.random.default_rng(seed)
+    (root / "hdf5/outdoor_day").mkdir(parents=True)
+    (root / "Flow GT/outdoor_day").mkdir(parents=True)
+
+    t0, t1 = 100.0, 104.0
+    n_ev = 20000
+    ts = np.sort(rng.uniform(t0, t1, n_ev))
+    xs = rng.integers(5, 341, n_ev)  # raw sensor coords (346 wide)
+    ys = rng.integers(2, 258, n_ev)
+    ps = rng.integers(0, 2, n_ev)
+    events = np.stack([xs, ys, ts, ps], axis=-1).astype(np.float64)
+
+    n_img = 42
+    img_ts = np.linspace(t0, t1, n_img)
+    images = rng.integers(0, 255, (n_img, 260, 346)).astype(np.uint8)
+
+    with h5py.File(root / "hdf5/outdoor_day/outdoor_day2_data.hdf5", "w") as f:
+        f["davis/left/events"] = events
+        f["davis/left/image_raw"] = images
+        f["davis/left/image_raw_event_inds"] = np.searchsorted(ts, img_ts)
+        f["davis/left/image_raw_ts"] = img_ts
+        f["davis/left/imu"] = rng.normal(0, 1, (100, 6))
+        f["davis/left/imu_ts"] = np.linspace(t0, t1, 100)
+
+    n_gt = 40
+    gt_ts = np.linspace(t0, t1, n_gt)
+    np.savez(
+        root / "Flow GT/outdoor_day/outdoor_day2_gt_flow_dist.npz",
+        timestamps=gt_ts,
+        x_flow_dist=np.full((n_gt, 260, 346), 1.5),
+        y_flow_dist=np.full((n_gt, 260, 346), -0.5),
+    )
+    return root
+
+
+def make_dsec_tree(root, seed=1):
+    """Minimal DSEC train-split tree with identity geometry.
+
+    Returns (root, sequence_name)."""
+    import h5py
+    import yaml
+    from PIL import Image
+
+    from eincm_tpu.utils.png16 import write_png16
+
+    rng = np.random.default_rng(seed)
+    seq = "mini_seq"
+    ev_dir = root / f"Train/train_events/{seq}/events/left"
+    img_dir = root / f"Train/train_images/{seq}/images"
+    cal_dir = root / f"Train/train_calibration/{seq}/calibration"
+    flow_dir = root / f"Train/train_optical_flow/{seq}/flow"
+    for d in [ev_dir, img_dir / "left/rectified", cal_dir, flow_dir / "forward"]:
+        d.mkdir(parents=True)
+
+    H, W = 480, 640
+    n_ev = 30000
+    t_offset = 1_000_000
+    ts = np.sort(rng.integers(0, 300_000, n_ev)).astype(np.int64)
+    xs = rng.integers(0, W, n_ev).astype(np.uint16)
+    ys = rng.integers(0, H, n_ev).astype(np.uint16)
+    with h5py.File(ev_dir / "events.h5", "w") as f:
+        f["events/x"] = xs
+        f["events/y"] = ys
+        f["events/t"] = ts
+        f["events/p"] = rng.integers(0, 2, n_ev).astype(np.uint8)
+        f["ms_to_idx"] = np.searchsorted(ts, np.arange(300) * 1000)
+        f["t_offset"] = t_offset
+
+    gx, gy = np.meshgrid(np.arange(W), np.arange(H))
+    rect = np.stack([gx, gy], axis=-1).astype(np.float32)  # identity rectify
+    with h5py.File(ev_dir / "rectify_map.h5", "w") as f:
+        f["rectify_map"] = rect
+
+    cam = {
+        "intrinsics": {
+            "cam0": {
+                "camera_matrix": [400.0, 400.0, 320.0, 240.0],
+                "distortion_coeffs": [0.0, 0.0, 0.0, 0.0],
+            },
+            "camRect0": {"camera_matrix": [400.0, 400.0, 320.0, 240.0]},
+            "camRect1": {"camera_matrix": [400.0, 400.0, 320.0, 240.0]},
+        },
+        "extrinsics": {
+            "R_rect0": np.eye(3).tolist(),
+            "R_rect1": np.eye(3).tolist(),
+            "T_10": np.eye(4).tolist(),
+        },
+    }
+    with open(cal_dir / "cam_to_cam.yaml", "w") as f:
+        yaml.safe_dump(cam, f)
+
+    img_ts = (t_offset + np.array([0, 100_000, 200_000, 300_000])).astype(
+        np.int64
+    )
+    np.savetxt(img_dir / "timestamps.txt", img_ts, fmt="%d")
+
+    for i in range(4):
+        Image.fromarray(
+            rng.integers(0, 255, (H, W)).astype(np.uint8)
+        ).save(img_dir / "left/rectified" / f"{i:06d}.png")
+
+    # two eval windows with GT flow PNGs
+    eval_rows = np.array(
+        [
+            [t_offset, t_offset + 100_000],
+            [t_offset + 100_000, t_offset + 200_000],
+        ],
+        np.int64,
+    )
+    with open(flow_dir / "forward_timestamps.txt", "w") as f:
+        f.write("# from, to\n")
+        for r in eval_rows:
+            f.write(f"{r[0]},{r[1]}\n")
+    for i in range(2):
+        enc = np.zeros((H, W, 3), np.uint16)
+        enc[..., 0] = int(2.0 * 128 + 2**15)  # flow_x = 2.0
+        enc[..., 1] = int(-1.0 * 128 + 2**15)  # flow_y = -1.0
+        enc[..., 2] = 1
+        write_png16(flow_dir / "forward" / f"{i:06d}.png", enc)
+    return root, seq
+
+
+def make_ecd_tree(root, seed=4):
+    """Minimal ECD sequence: events.txt, images.txt, images/.
+
+    Returns (root, sequence_name)."""
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    name = "slider_mini"
+    seq = root / name
+    (seq / "images").mkdir(parents=True)
+
+    n_ev = 5000
+    ts = np.sort(rng.uniform(0, 1.0, n_ev))
+    xs = rng.integers(0, 240, n_ev)
+    ys = rng.integers(0, 180, n_ev)  # raw 180-row sensor, loader crops y-2
+    ps = rng.integers(0, 2, n_ev)
+    with open(seq / "events.txt", "w") as f:
+        for row in zip(ts, xs, ys, ps):
+            f.write(f"{row[0]:.9f} {row[1]} {row[2]} {row[3]}\n")
+
+    img_ts = np.linspace(0, 1.0, 6)
+    with open(seq / "images.txt", "w") as f:
+        for i, t in enumerate(img_ts):
+            f.write(f"{t:.9f} images/frame_{i:08d}.png\n")
+    for i in range(6):
+        Image.fromarray(
+            rng.integers(0, 255, (180, 240)).astype(np.uint8)
+        ).save(seq / "images" / f"frame_{i:08d}.png")
+    return root, name

@@ -1,0 +1,350 @@
+"""End-to-end optimizer-trajectory parity vs the reference solver.
+
+Drives the REFERENCE loss (/root/reference/src/eincm/losses.py) with scipy's
+f64 BFGS + L-BFGS-B through the reference's pyramid + handover semantics
+(src/eincm/solver.py:197-267,302-347) — replicating jaxopt's thin
+value_and_grad bridge (jaxopt itself is absent) — on the same staged
+synthetic windows as our on-device `solve_window`, for BOTH line searches
+('wolfe' scipy-parity semantics and the shipped 'armijo' default). This is
+the last unproven equivalence: round-2 parity covered loss/grad values at
+machine eps; this compares *final solved thetas* over a ≥10-window handover
+chain.
+
+Prints one JSON line:
+  final_theta_relerr_{mode}   max over windows of rel err of level-0 theta
+  level_loss_delta_{mode}     max over windows/levels of |f_our - f_ref|/|f_ref|
+  aee_ref / aee_{mode}        mean AEE vs ground truth (px)
+  aee_delta_{mode}            max over windows of AEE_our - AEE_ref (signed, px)
+  handover_w_delta_{mode}     max over windows of |w_our - w_ref| (solved lvl 0)
+
+Runs in a subprocess (enables x64, stubs cv2) — see
+tests/test_reference_parity.py::TestSolverTrajectoryParity.
+"""
+
+import json
+import os
+import sys
+import types
+from functools import partial
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp
+import numpy as np
+import scipy.optimize
+
+sys.modules.setdefault("cv2", types.ModuleType("cv2"))
+REF = "/root/reference/src"
+if REF not in sys.path:
+    sys.path.insert(0, REF)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from eincm import losses as ref_losses  # noqa: E402
+
+from eincm_tpu.data.staging import stage_datasample  # noqa: E402
+from eincm_tpu.data.synthetic import SyntheticDataLoader  # noqa: E402
+from eincm_tpu.experiments.config import EdgeConfig  # noqa: E402
+from eincm_tpu.models.loss import LossParams  # noqa: E402
+from eincm_tpu.models.pyramid import (  # noqa: E402
+    HandoverSettings,
+    SolverConfig,
+    solve_window,
+)
+from eincm_tpu.ops.resize import scale_theta_to_sensor_size  # noqa: E402
+
+# ---- shared problem setup ------------------------------------------------
+
+H, W = 64, 64
+N_EVENTS = 8192
+N_WINDOWS = 10
+VELOCITY = (1.5, -1.0)
+N_PYR = 5
+MAXITERS = (25, 21, 18, 14, 10)  # growing maxiters, miniter 10 / maxiter 25
+HO_MAXITER = 15
+GTOL = 1e-4
+N_EXTRA = {0: 1, 1: 1}
+ALPHA, BETA, GAMMA, DELTA = 60.0, 60.0, 0.0, 0.0
+SOLVE_HO_LEVELS = (0,)
+ALPHA_HANDOVER = 0.5
+
+
+def staged_windows():
+    dl = SyntheticDataLoader(
+        sensor_size=(H, W), n_windows=N_WINDOWS, des_n_events=N_EVENTS,
+        velocity=VELOCITY, n_features=60, seed=3,
+    )
+    dl.get_ready()
+    edge_fn = EdgeConfig(
+        enable_image_preprocessing=False, smoothen_method="eincm_iedt"
+    ).make_edge_fn()
+    out = []
+    for i in range(N_WINDOWS):
+        s = stage_datasample(
+            dl[i], edge_fn=edge_fn, preprocess=False, pad_to=N_EVENTS,
+            dtype=np.float64,
+        )
+        out.append(s.window)
+    return out
+
+
+def aee_at_events(theta_lvl0, xs, ys):
+    """AEE of the upscaled level-0 field vs the constant GT flow, at event
+    pixels (the synthetic GT is exact by construction)."""
+    full = np.asarray(
+        scale_theta_to_sensor_size(jnp.asarray(theta_lvl0), (H, W), "bilinear")
+    )
+    ix = np.clip(np.asarray(xs).astype(int), 0, W - 1)
+    iy = np.clip(np.asarray(ys).astype(int), 0, H - 1)
+    v = np.asarray(VELOCITY)
+    err = np.linalg.norm(full[iy, ix] - v[None, :], axis=-1)
+    return float(err.mean())
+
+
+# ---- reference-side solver (scipy f64 through the reference pyramid) -----
+
+
+def _upscale(theta, base):
+    # reference 'repeat' upscale (src/eincm/solver.py:351-352)
+    return jnp.repeat(jnp.repeat(theta, base, axis=0), base, axis=1)
+
+
+def _downscale(theta, base):
+    # reference 'bilinear' downscale (src/eincm/solver.py:366-375)
+    import jax.image as jim
+
+    return jim.scale_and_translate(
+        image=theta,
+        shape=(theta.shape[0] // base, theta.shape[1] // base, 2),
+        spatial_dims=(0, 1, 2),
+        scale=jnp.array([1.0 / base, 1.0 / base, 1.0], jnp.float64),
+        translation=jnp.zeros((3,), jnp.float64),
+        method="bilinear",
+    )
+
+
+def level_shape(lvl):
+    n = 1
+    for _ in range(lvl, N_PYR - 1):
+        n *= 2
+    return (n, n)
+
+
+class RefSolver:
+    """scipy-driven reference solve of one sequence (the jaxopt bridge:
+    jitted f64 value_and_grad of the reference loss, scipy BFGS per level,
+    scipy L-BFGS-B on the scalar handover weight; retry-on-failure loop per
+    src/eincm/solver.py:218-239)."""
+
+    def __init__(self):
+        self._vg = {}  # per level: jitted value_and_grad
+        self._ho_vg = {}
+        for lvl in range(N_PYR):
+            def loss(theta, xs, ys, ts, edges, edge_ts, _lvl=lvl):
+                out, _ = ref_losses.loss_func(
+                    theta, xs, ys, ts, edges, edge_ts,
+                    ALPHA, BETA, GAMMA, DELTA,
+                    _lvl, N_PYR, (H, W), "bilinear",
+                )
+                return out
+
+            self._vg[lvl] = jax.jit(jax.value_and_grad(loss))
+
+            def ho_loss(w, prev, cur, xs, ys, ts, edges, edge_ts, _lvl=lvl):
+                return ref_losses.handover_loss_func(
+                    w, prev, cur, xs, ys, ts, edges, edge_ts,
+                    ALPHA, BETA, GAMMA, DELTA,
+                    _lvl, N_PYR, (H, W), "bilinear",
+                )
+
+            self._ho_vg[lvl] = jax.jit(jax.value_and_grad(ho_loss))
+
+        self.prior_pyr = [
+            jnp.zeros((*level_shape(l), 2), jnp.float64) for l in range(N_PYR)
+        ]
+        self.is_first = True
+
+    def _bfgs(self, lvl, theta0, ev):
+        shape = theta0.shape
+        vg = self._vg[lvl]
+
+        def fun(flat):
+            f, g = vg(jnp.asarray(flat.reshape(shape)), *ev)
+            return float(f), np.asarray(g, np.float64).ravel()
+
+        res = scipy.optimize.minimize(
+            fun, np.asarray(theta0, np.float64).ravel(), jac=True,
+            method="BFGS",
+            options={"gtol": GTOL, "maxiter": MAXITERS[lvl]},
+        )
+        return res
+
+    def solve(self, window):
+        ev = (window.xs, window.ys, window.ts, window.edges, window.edge_ts)
+        # stage priors: downscaled finest priors (solver.py:283-289)
+        for lvl in range(1, N_PYR):
+            self.prior_pyr[lvl] = _downscale(self.prior_pyr[lvl - 1], 2)
+
+        pre_opt = [None] * N_PYR
+        opt = [None] * N_PYR
+        final = [None] * N_PYR
+        fvals = [None] * N_PYR
+        weights = [ALPHA_HANDOVER] * N_PYR
+        pre_opt[N_PYR - 1] = self.prior_pyr[N_PYR - 1]
+
+        for lvl in reversed(range(N_PYR)):
+            res = self._bfgs(lvl, pre_opt[lvl], ev)
+            attempts = 0
+            while (
+                not res.success
+                and res.nit > 0
+                and lvl in N_EXTRA
+                and attempts < N_EXTRA[lvl]
+            ):
+                attempts += 1
+                res = self._bfgs(
+                    lvl, jnp.asarray(res.x.reshape((*level_shape(lvl), 2))), ev
+                )
+            opt[lvl] = jnp.asarray(res.x.reshape((*level_shape(lvl), 2)))
+            fvals[lvl] = float(res.fun)
+
+            # handover (solver.py:302-347)
+            if self.is_first:
+                final[lvl] = opt[lvl]
+            elif lvl in SOLVE_HO_LEVELS:
+                if lvl > 0:
+                    prev, cur, ho_lvl = (
+                        self.prior_pyr[lvl - 1], _upscale(opt[lvl], 2), lvl - 1
+                    )
+                else:
+                    prev, cur, ho_lvl = self.prior_pyr[lvl], opt[lvl], lvl
+                ho_vg = self._ho_vg[ho_lvl]
+
+                def ho_fun(wa):
+                    f, g = ho_vg(jnp.float64(wa[0]), prev, cur, *ev)
+                    return float(f), np.asarray(g, np.float64).reshape(1)
+
+                ho = scipy.optimize.minimize(
+                    ho_fun, np.array([0.5]), jac=True, method="L-BFGS-B",
+                    bounds=[(0.0, 1.0)],
+                    options={"maxiter": HO_MAXITER},
+                )
+                w = float(ho.x[0])
+                weights[lvl] = w
+                final[lvl] = w * self.prior_pyr[lvl] + (1 - w) * opt[lvl]
+            else:
+                final[lvl] = (
+                    ALPHA_HANDOVER * self.prior_pyr[lvl]
+                    + (1 - ALPHA_HANDOVER) * opt[lvl]
+                )
+
+            if lvl > 0:
+                pre_opt[lvl - 1] = _upscale(final[lvl], 2)
+
+        self.prior_pyr = list(final)
+        self.is_first = False
+        return {
+            "final_pyr": [np.asarray(t) for t in final],
+            "fvals": fvals,
+            "weights": weights,
+        }
+
+
+# ---- our-side solver ------------------------------------------------------
+
+
+def our_config(line_search):
+    return SolverConfig(
+        n_pyr_lvls=N_PYR,
+        sensor_size=(H, W),
+        params=LossParams(ALPHA, BETA, GAMMA, DELTA),
+        theta_opt_maxiters=MAXITERS,
+        handover_opt_maxiters=(HO_MAXITER,) * N_PYR,
+        theta_gtol=GTOL,
+        n_extra_attempts=dict(N_EXTRA),
+        handover=HandoverSettings(
+            use_handover=True,
+            solve_handover_for_levels=SOLVE_HO_LEVELS,
+            use_downscaled_finest_priors=True,
+            alpha_handover=ALPHA_HANDOVER,
+        ),
+        max_ls_evals=25,
+        line_search=line_search,
+    )
+
+
+def run_ours(windows, line_search):
+    cfg = our_config(line_search)
+    first = jax.jit(partial(solve_window, cfg, is_first_sample=True))
+    rest = jax.jit(partial(solve_window, cfg, is_first_sample=False))
+    prior = cfg.zero_pyramid(jnp.float64)
+    out = []
+    for i, w in enumerate(windows):
+        res = (first if i == 0 else rest)(w, prior)
+        prior = res.final_theta_pyr
+        out.append(
+            {
+                "final_pyr": [np.asarray(t) for t in res.final_theta_pyr],
+                "fvals": [float(s.fun_val) for s in res.theta_opt_states],
+                "weights": [float(x) for x in res.final_handover_weights],
+            }
+        )
+    return out
+
+
+def main():
+    windows = staged_windows()
+
+    ref = RefSolver()
+    ref_out = [ref.solve(w) for w in windows]
+    ref_aee = [
+        aee_at_events(r["final_pyr"][0], w.xs, w.ys)
+        for r, w in zip(ref_out, windows)
+    ]
+
+    results = {
+        "aee_ref": float(np.mean(ref_aee)),
+        "aee_ref_per_window": [round(a, 4) for a in ref_aee],
+        "n_windows": N_WINDOWS,
+    }
+
+    for mode in ("wolfe", "armijo"):
+        ours = run_ours(windows, mode)
+        theta_errs, loss_deltas, w_deltas, aee_deltas, aees = [], [], [], [], []
+        for k, (r, o, w) in enumerate(zip(ref_out, ours, windows)):
+            tr = r["final_pyr"][0]
+            to = o["final_pyr"][0]
+            theta_errs.append(
+                float(np.max(np.abs(to - tr)) / max(np.max(np.abs(tr)), 1e-30))
+            )
+            for lvl in range(N_PYR):
+                loss_deltas.append(
+                    abs(o["fvals"][lvl] - r["fvals"][lvl])
+                    / max(abs(r["fvals"][lvl]), 1e-30)
+                )
+            if k > 0:  # handover solved (non-first windows), level 0
+                w_deltas.append(abs(o["weights"][0] - r["weights"][0]))
+            a = aee_at_events(to, w.xs, w.ys)
+            aees.append(a)
+            aee_deltas.append(a - ref_aee[k])
+        results[f"final_theta_relerr_{mode}"] = float(np.max(theta_errs))
+        results[f"level_loss_delta_{mode}"] = float(np.max(loss_deltas))
+        results[f"handover_w_delta_{mode}"] = float(np.max(w_deltas))
+        results[f"aee_{mode}"] = float(np.mean(aees))
+        results[f"aee_delta_{mode}"] = float(np.max(np.abs(aee_deltas)))
+        results[f"aee_delta_mean_{mode}"] = float(np.mean(aee_deltas))
+        # per-window audit trail
+        results[f"aee_per_window_{mode}"] = [round(a, 4) for a in aees]
+        results[f"aee_delta_per_window_{mode}"] = [
+            round(d, 4) for d in aee_deltas
+        ]
+
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -306,3 +306,23 @@ class TestJaxoptCompat:
         )
         res = solver.run(0.5, (0.0, 1.0))
         assert not bool(res.state.success)
+
+    def test_heartbeat_callback_fires(self, capsys):
+        from eincm_tpu.models.bfgs import minimize_bfgs
+
+        seen = []
+
+        def beat(k, f):
+            seen.append((int(k), float(f)))
+
+        def fg(x):
+            return jax.value_and_grad(lambda v: ((v - 2.0) ** 2).sum())(x)
+
+        res = minimize_bfgs(
+            fg, jnp.zeros(3), maxiter=10, heartbeat_fn=beat
+        )
+        jax.effects_barrier()
+        assert seen, "heartbeat never fired"
+        assert seen[0][0] == 1
+        assert seen[-1][1] <= seen[0][1]
+        assert float(res.fun_val) < 1e-8

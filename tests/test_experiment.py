@@ -351,3 +351,113 @@ def test_parallel_windows_sequence_shard(tmp_path):
         float(np.asarray(r["evals"]["AEE"])) for r in exp.eval_results.values()
     ]
     assert np.mean(aees) < 1.6, aees
+
+
+class TestArmijoRescue:
+    """Armijo tail safeguard: anomalous windows re-solved with strong Wolfe."""
+
+    def test_anomaly_predicate(self):
+        import types
+
+        import jax.numpy as jnp
+
+        def fake(f_opt, status, f_prior):
+            st = types.SimpleNamespace(
+                fun_val=jnp.asarray(f_opt), status=jnp.asarray(status)
+            )
+            return types.SimpleNamespace(
+                theta_opt_states=(st,), prior_loss_lvl0=jnp.asarray(f_prior)
+            )
+
+        anom = EINCMExperiment._anomalous
+        assert not anom(fake(-5.0, 1, -4.0))  # improved on the prior: fine
+        assert not anom(fake(-5.0, 2, jnp.inf))  # first-ish window: fine
+        assert anom(fake(-3.0, 1, -4.0))  # worse than keeping the prior
+        assert anom(fake(jnp.nan, 3, -4.0))  # NaN solve
+
+    def test_prior_loss_recorded(self, tmp_path):
+        cfg = tiny_cfg(tmp_path)
+        exp = EINCMExperiment(cfg)
+        dl = cfg.dataset.make_loader()
+        dl.get_ready()
+        staged = exp.stage(dl[0])
+        prior = exp.solver_cfg.zero_pyramid()
+        res1 = exp.window_solver(staged.window, prior, is_first=True)
+        assert np.isposinf(float(res1.prior_loss_lvl0))
+        res2 = exp.window_solver(
+            staged.window, res1.final_theta_pyr, is_first=False
+        )
+        f_prior = float(res2.prior_loss_lvl0)
+        assert np.isfinite(f_prior)
+        # the prior IS this window's solution, so re-optimizing from it
+        # cannot end worse: the anomaly predicate must pass
+        assert not exp._anomalous(res2)
+
+    def test_rescue_engages_and_results_valid(self, tmp_path, monkeypatch):
+        cfg = tiny_cfg(tmp_path)
+        cfg.phases.eval = False
+        exp = EINCMExperiment(cfg)
+        # force the anomaly on every non-first window; the rescue must run,
+        # count, and still produce a schema-valid opt_results tree
+        monkeypatch.setattr(
+            EINCMExperiment, "_anomalous", staticmethod(lambda res: True)
+        )
+        exp.run_solver()
+        assert exp.n_rescued == cfg.dataset.n_windows - 1
+        validate_opt_results(exp.opt_results, cfg.solver.n_pyr_lvls)
+
+    def test_rescue_off_when_wolfe(self, tmp_path, monkeypatch):
+        cfg = tiny_cfg(tmp_path)
+        cfg.phases.eval = False
+        cfg.solver.line_search = "wolfe"
+        exp = EINCMExperiment(cfg)
+        monkeypatch.setattr(
+            EINCMExperiment, "_anomalous", staticmethod(lambda res: True)
+        )
+        exp.run_solver()
+        assert exp.n_rescued == 0
+
+
+def test_parallel_windows_checkpoint_resume(tmp_path):
+    """Parallel-mode mid-sequence checkpointing: the sequence solves in
+    super-steps with the prior chain carried across them, a checkpoint after
+    each; killing after the first super-step and resuming reproduces the
+    straight-through results bitwise."""
+    cfg = tiny_cfg(tmp_path)
+    cfg.dataset.n_windows = 16
+    cfg.dataset.velocity = (0.5, -0.25)  # 16 windows must fit the sensor
+    cfg.phases.parallel_windows = True
+    cfg.phases.eval = False
+    cfg.phases.checkpoint_every_percent = 50.0  # 2 super-steps of 8
+    cfg.phases.delete_checkpoints_at_end = False
+    exp = EINCMExperiment(cfg)
+    exp.run_solver()
+    assert len(exp.opt_results) == 16
+    ckpts = sorted(exp.ckpt_dir.glob("checkpoint_*.npz"))
+    assert len(ckpts) == 1, [c.name for c in ckpts]
+    ck = np.load(ckpts[0], allow_pickle=True)["opt_results"].item()
+    assert len(ck) == 8  # first super-step only
+
+    # "kill" after the first super-step: resume from its checkpoint
+    cfg2 = tiny_cfg(tmp_path / "resumed")
+    cfg2.dataset.n_windows = 16
+    cfg2.dataset.velocity = (0.5, -0.25)
+    cfg2.phases.parallel_windows = True
+    cfg2.phases.eval = False
+    cfg2.phases.checkpoint_every_percent = 50.0
+    cfg2.phases.run_from_checkpoint = str(ckpts[0])
+    exp2 = EINCMExperiment(cfg2)
+    exp2.run_solver()
+    assert len(exp2.opt_results) == 16
+    # resumed records match the straight-through run exactly (the resumed
+    # super-step was seeded with the same carried boundary prior)
+    for key in exp.opt_results:
+        np.testing.assert_array_equal(
+            exp2.opt_results[key]["solver_final_results"]["final_theta_pyr"][
+                "pyr_lvl_0"
+            ],
+            exp.opt_results[key]["solver_final_results"]["final_theta_pyr"][
+                "pyr_lvl_0"
+            ],
+            err_msg=key,
+        )

@@ -75,3 +75,64 @@ def test_wrap_vs_drop_reported(parity):
     # when warped splat windows leave the sensor (ops/splat.py); sanity-bound
     # it so a regression in the drop path would be caught
     assert parity["wrap_vs_drop"] <= 0.2
+
+
+@pytest.fixture(scope="module")
+def solver_parity():
+    """End-to-end optimizer-trajectory parity: the reference pyramid driven
+    by scipy's f64 BFGS/L-BFGS-B vs our on-device solve_window, 10-window
+    handover chain (VERDICT r2 item 1). ~15-20 min of CPU work."""
+    script = os.path.join(
+        os.path.dirname(__file__), "reference_solver_parity_check.py"
+    )
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    res = subprocess.run(
+        [sys.executable, script],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=3600,
+    )
+    assert res.returncode == 0, f"solver parity failed:\n{res.stderr[-4000:]}"
+    return json.loads(res.stdout.strip().splitlines()[-1])
+
+
+class TestSolverTrajectoryParity:
+    """Tolerances sit above the round-3 measured values (PARITY.md records
+    them): two correct BFGS implementations diverge on individual windows
+    (line-search step choices compound over a 5-level pyramid x 10-window
+    prior chain), so equivalence is asserted on end metrics, not iterates."""
+
+    def test_recovers_flow_like_reference(self, solver_parity):
+        # both implementations recover the synthetic flow to the same level
+        assert solver_parity["aee_ref"] < 2.0
+        for mode in ("wolfe", "armijo"):
+            assert abs(
+                solver_parity[f"aee_{mode}"] - solver_parity["aee_ref"]
+            ) <= 0.15, solver_parity
+
+    def test_mean_aee_delta_small(self, solver_parity):
+        # sequence-mean accuracy indistinguishable (measured ~+0.03 px)
+        for mode in ("wolfe", "armijo"):
+            assert abs(solver_parity[f"aee_delta_mean_{mode}"]) <= 0.1, (
+                solver_parity
+            )
+
+    def test_worst_window_bounded(self, solver_parity):
+        # individual windows may land in different basins; bound the damage
+        for mode in ("wolfe", "armijo"):
+            assert solver_parity[f"aee_delta_{mode}"] <= 1.0, solver_parity
+
+    def test_level_losses_track_reference(self, solver_parity):
+        # per-level final losses within 20% relative (measured <= 8%)
+        for mode in ("wolfe", "armijo"):
+            assert solver_parity[f"level_loss_delta_{mode}"] <= 0.2, (
+                solver_parity
+            )
+
+    def test_wolfe_handover_weights_match(self, solver_parity):
+        # scipy-parity line search: solved blend weights agree closely
+        # (measured max |dw| ~0.02); armijo's differing optimum can shift
+        # the blend optimum legitimately, so only wolfe is bounded tightly
+        assert solver_parity["handover_w_delta_wolfe"] <= 0.1, solver_parity
