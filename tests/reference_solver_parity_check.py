@@ -74,8 +74,13 @@ ALPHA_HANDOVER = 0.5
 
 
 def staged_windows():
+    # one spare window beyond the compared range: the loader's final window
+    # is event-deficient at the sequence boundary and would be NaN-padded —
+    # our loss drops NaN events by design, but the reference loss has no
+    # NaN-padding concept (its loaders pad by symmetric event extension),
+    # so the compared windows must all be full
     dl = SyntheticDataLoader(
-        sensor_size=(H, W), n_windows=N_WINDOWS, des_n_events=N_EVENTS,
+        sensor_size=(H, W), n_windows=N_WINDOWS + 1, des_n_events=N_EVENTS,
         velocity=VELOCITY, n_features=60, seed=3,
     )
     dl.get_ready()
@@ -87,6 +92,10 @@ def staged_windows():
         s = stage_datasample(
             dl[i], edge_fn=edge_fn, preprocess=False, pad_to=N_EVENTS,
             dtype=np.float64,
+        )
+        assert np.isfinite(np.asarray(s.window.xs)).all(), (
+            f"window {i} unexpectedly padded — both sides must see the "
+            "identical objective"
         )
         out.append(s.window)
     return out
