@@ -158,7 +158,7 @@ def interp_theta_at_events(
     xs: jax.Array,
     ys: jax.Array,
     sensor_size: Tuple[int, int],
-    chunk: int = 131072,
+    chunk: int = 2_097_152,
 ) -> jax.Array:
     """Per-event velocity sampled from the COARSE theta grid -> (E, 2).
 
@@ -169,6 +169,11 @@ def interp_theta_at_events(
     (H, W, 2) field and gathering per event (whose VJP is a serialized TPU
     scatter), each event contracts small bilinear one-hot weights against the
     (h, w, 2) grid — two tiny MXU matmuls per chunk, matmul-transpose VJP.
+
+    The default chunk covers DSEC-scale windows in ONE chunk: a 1.5M-event
+    single-chunk evaluation measured 1.96 ms vs 2.27 ms for 12 lax.map
+    chunks of 128k (round 3); the (E, 16) weight intermediates peak at a
+    few hundred MB of HBM, well within budget.
     """
     h, w, c = theta.shape
     H, W = sensor_size
