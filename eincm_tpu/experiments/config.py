@@ -192,6 +192,15 @@ class PhaseSettings:
     # range mode (exp_mgr.py:261-265)
     run_idx_ranges: Optional[Tuple[Tuple[int, int], ...]] = None
     checkpoint_every_percent: float = 25.0
+    # parallel-mode super-step checkpointing cadence. None (default) keeps
+    # the whole-sequence single-batch schedule. NOTE: enabling this changes
+    # the parallel solve's numerics slightly (and deliberately, toward the
+    # sequential reference schedule): each super-step's first window gets
+    # the previous super-step's exact final theta as its prior instead of
+    # the two-pass/ppermute approximation — which is why this is a separate
+    # knob from the (serial-path) checkpoint_every_percent rather than a
+    # silent behavior change keyed off a checkpoint-I/O setting.
+    parallel_checkpoint_every_percent: Optional[float] = None
     delete_checkpoints_at_end: bool = True
     run_from_checkpoint: Optional[str] = None
     # solve all windows sharded over the available device mesh

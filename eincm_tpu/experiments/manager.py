@@ -53,7 +53,20 @@ class EINCMExperiment:
         self._sort_by_row = cfg.solver.splat_impl in ("banded", "pallas_banded")
         self._sort_by_tile = cfg.solver.splat_impl == "pallas_banded2d"
 
-        self.window_solver = make_window_solver(self.solver_cfg)
+        # armijo tail safeguard (serial path): the anomaly signal costs one
+        # extra finest-level loss evaluation per window inside the jitted
+        # solve, so it is compiled in only when the rescue is active
+        self._rescue_on = (
+            cfg.solver.line_search == "armijo" and cfg.solver.armijo_rescue
+        )
+        serial_cfg = self.solver_cfg
+        if self._rescue_on:
+            import dataclasses
+
+            serial_cfg = dataclasses.replace(
+                serial_cfg, compute_prior_loss=True
+            )
+        self.window_solver = make_window_solver(serial_cfg)
 
         self.out_dir = Path(cfg.output_dir) / cfg.experiment_name
         self.ckpt_dir = self.out_dir / "checkpoints"
@@ -171,34 +184,52 @@ class EINCMExperiment:
             staged = self.stage(ds)
             return staged._replace(window=jax.device_put(staged.window))
 
-        # armijo tail safeguard: re-solve anomalous windows with strong
-        # Wolfe (see _rescue_window). The anomaly check reads two scalars
-        # per window (a sync), so it is gated on the rescue being active.
-        rescue_on = (
-            self.cfg.solver.line_search == "armijo"
-            and self.cfg.solver.armijo_rescue
-        )
-
         # One-window readback lag: dispatch window i+1 (async, queues on
-        # device behind i via the prior-pyramid dependency) BEFORE fetching
-        # window i's results, so host transfers overlap device compute.
+        # device behind i via the prior-pyramid dependency) BEFORE window
+        # i's anomaly check / result fetch, so host transfers overlap device
+        # compute. The armijo rescue is OPTIMISTIC about this pipelining:
+        # window i+1 launches with i's unrescued prior; when the (rare,
+        # <~10%) rescue fires, window i is re-solved with strong Wolfe and
+        # window i+1 is re-dispatched from the corrected prior.
         prefetcher = StagingPrefetcher(dl, indices, stage_for_solve, depth=2)
-        pending = None
+        pending = None  # (idx, staged, prior_before, first_before, res)
+
+        def check_and_finalize(pending, cur=None):
+            """Anomaly-check + finalize the pending window; `cur` is the
+            in-flight successor (idx, staged, res, prior) to re-dispatch if
+            the pending window gets rescued. Returns cur's (possibly
+            re-solved) (res, prior-it-was-solved-from)."""
+            p_idx, p_staged, p_prior, p_first, p_res = pending
+            cur_res, cur_prior = (cur[2], cur[3]) if cur is not None else (None, None)
+            if self._rescue_on and not p_first and self._anomalous(p_res):
+                fixed = self._rescue_window(p_idx, p_staged, p_prior, p_res)
+                if fixed is not p_res:
+                    p_res = fixed
+                    if cur is not None:
+                        cur_prior = fixed.final_theta_pyr
+                        cur_res = self._solve_one(
+                            self.window_solver, cur[1], cur_prior, False
+                        )
+                        self._prior_pyr = cur_res.final_theta_pyr
+                    else:
+                        self._prior_pyr = fixed.final_theta_pyr
+            finalize(p_idx, p_res)
+            return cur_res, cur_prior
+
         for idx, staged in prefetcher:
             prior_before, first_before = self._prior_pyr, self._is_first
             res = self._solve_one(
                 self.window_solver, staged, prior_before, first_before
             )
-            if rescue_on and not first_before and self._anomalous(res):
-                res = self._rescue_window(idx, staged, prior_before, res)
-            self._prior_pyr = res.final_theta_pyr
+            self._prior_pyr = res.final_theta_pyr  # optimistic
             self._is_first = False
-
             if pending is not None:
-                finalize(*pending)
-            pending = (idx, res)
+                res, prior_before = check_and_finalize(
+                    pending, (idx, staged, res, prior_before)
+                )
+            pending = (idx, staged, prior_before, first_before, res)
         if pending is not None:
-            finalize(*pending)
+            check_and_finalize(pending)
         if self.n_rescued:
             warn(
                 f"armijo rescue engaged on {self.n_rescued}/{len(indices)} "
@@ -335,10 +366,16 @@ class EINCMExperiment:
         # parallel path): the sequence solves in super-steps of ~N% of the
         # windows (rounded up to a device-count multiple), the prior chain
         # carried across super-steps through `boundary`, a checkpoint saved
-        # after each. 0/>=100 percent -> one super-step (no checkpoints).
-        pct = self.cfg.phases.checkpoint_every_percent
+        # after each. Off by default (None) — a dedicated knob, because
+        # chunking also moves each super-step's first-window prior to the
+        # exact carried value (see PhaseSettings).
+        pct = self.cfg.phases.parallel_checkpoint_every_percent
         total = len(dl)
         if pct and 0 < pct < 100 and n > n_dev:
+            log(
+                f"parallel super-step checkpointing every ~{pct}% of "
+                "windows (prior chain carried exactly across super-steps)"
+            )
             step = max(n_dev, -(-int(np.ceil(total * pct / 100.0)) // n_dev) * n_dev)
         else:
             step = max(n, 1)
@@ -406,11 +443,18 @@ class EINCMExperiment:
     @staticmethod
     def _anomalous(res) -> bool:
         """An armijo window whose level-0 optimum is worse than keeping the
-        prior window's theta (or that hit NaN) is anomalous."""
-        f_opt = float(res.theta_opt_states[0].fun_val)
-        f_prior = float(res.prior_loss_lvl0)
-        status = int(res.theta_opt_states[0].status)
-        return status == 3 or not (f_opt <= f_prior)
+        prior window's theta (or that hit NaN) is anomalous. One batched
+        scalar fetch (a relayed round-trip costs more than the scalars)."""
+        import jax
+
+        f_opt, f_prior, status = jax.device_get(
+            (
+                res.theta_opt_states[0].fun_val,
+                res.prior_loss_lvl0,
+                res.theta_opt_states[0].status,
+            )
+        )
+        return int(status) == 3 or not (float(f_opt) <= float(f_prior))
 
     def _rescue_window(self, idx, staged, prior, armijo_res):
         """Re-solve an anomalous armijo window with strong Wolfe; keep the

@@ -110,6 +110,11 @@ class SolverConfig:
     # equivalent of the reference's printing callback
     # (src/eincm/callbacks.py:131-151); each firing is a host hop
     progress_heartbeat: bool = False
+    # emit SolveResult.prior_loss_lvl0 (the armijo-rescue anomaly signal).
+    # Costs one full finest-level loss evaluation per non-first window, so
+    # it is opt-in: the manager enables it only when the rescue is active
+    # (parallel/sharded paths never pay it)
+    compute_prior_loss: bool = False
 
     def __post_init__(self):
         bases = self.pyramid_bases
@@ -330,7 +335,7 @@ def solve_window(
 
     prior = stage_prior_pyramid(cfg, prior_pyr)
 
-    if is_first_sample:
+    if is_first_sample or not cfg.compute_prior_loss:
         prior_loss0 = jnp.asarray(jnp.inf, prior[0].dtype)
     else:
         prior_loss0 = solver_loss(

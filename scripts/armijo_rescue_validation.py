@@ -49,8 +49,11 @@ def make_cfg(tag, line_search, rescue, out_root):
     cfg.solver.line_search = line_search
     cfg.solver.armijo_rescue = rescue
     cfg.solver.splat_impl = "pallas_banded"
-    cfg.handover.use_handover = True
-    cfg.handover.solve_handover_for_levels = (0,)
+    from eincm_tpu.models.pyramid import HandoverSettings
+
+    cfg.handover = HandoverSettings(
+        use_handover=True, solve_handover_for_levels=(0,)
+    )
     cfg.phases.run_idx_range = (0, 10)
     cfg.phases.eval = True
     cfg.phases.plot = False

@@ -97,7 +97,10 @@ def rel_err(a, b):
 if __name__ == "__main__":
     import numpy as np
 
-    ref_npz = os.path.join(tempfile.gettempdir(), "eincm_dsec_ref.npz")
+    # cache keyed on every parameter that determines the reference result —
+    # a bare filename silently reused stale baselines after edits
+    key = f"{H}x{W}_n{N_EVENTS}_s{SEED}_a{ALPHA:g}_b{BETA:g}_c{COARSE[0]}x{COARSE[1]}"
+    ref_npz = os.path.join(tempfile.gettempdir(), f"eincm_dsec_ref_{key}.npz")
     if not os.path.exists(ref_npz):
         run_reference_phase(ref_npz)
     ref = np.load(ref_npz)

@@ -141,10 +141,18 @@ assert bool(oks.all()), "fused banding invalid — bench void"
 frames_a = path_a(jtheta)
 err = float(jnp.max(jnp.abs(frames_a - frames_b)))
 print(f"numeric agreement B (max abs): {err:.2e}", file=sys.stderr)
+# identical math, identical inputs: must match to f32 accumulation noise —
+# a silent mis-splat would otherwise still produce "valid" timings
+assert err <= 1e-3, f"fused prototype disagrees: {err}"
 frames_c, oks_c = path_c(jtheta)
 assert bool(oks_c.all()), "fully-fused banding invalid — bench void"
 err_c = float(jnp.max(jnp.abs(frames_a - frames_c)))
 print(f"numeric agreement C (max abs): {err_c:.2e}", file=sys.stderr)
+# path C's in-kernel f32 interp vs XLA HIGHEST interp shifts coordinates
+# ~1e-5, occasionally flipping a round() and moving ~0.4 of one event's
+# splat mass (measured 2e-1) — bound it at a few events' worth so a band
+# bug (which drops thousands of mass) still fails loudly
+assert err_c <= 2.0, f"fully-fused prototype grossly disagrees: {err_c}"
 
 res = {
     "path_a_two_kernel_ms": round(timeit(path_a, jtheta), 3),

@@ -428,7 +428,7 @@ def test_parallel_windows_checkpoint_resume(tmp_path):
     cfg.dataset.velocity = (0.5, -0.25)  # 16 windows must fit the sensor
     cfg.phases.parallel_windows = True
     cfg.phases.eval = False
-    cfg.phases.checkpoint_every_percent = 50.0  # 2 super-steps of 8
+    cfg.phases.parallel_checkpoint_every_percent = 50.0  # 2 super-steps of 8
     cfg.phases.delete_checkpoints_at_end = False
     exp = EINCMExperiment(cfg)
     exp.run_solver()
@@ -444,7 +444,7 @@ def test_parallel_windows_checkpoint_resume(tmp_path):
     cfg2.dataset.velocity = (0.5, -0.25)
     cfg2.phases.parallel_windows = True
     cfg2.phases.eval = False
-    cfg2.phases.checkpoint_every_percent = 50.0
+    cfg2.phases.parallel_checkpoint_every_percent = 50.0
     cfg2.phases.run_from_checkpoint = str(ckpts[0])
     exp2 = EINCMExperiment(cfg2)
     exp2.run_solver()
