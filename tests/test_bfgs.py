@@ -149,6 +149,38 @@ class TestBoundedScalar:
         assert np.isclose(float(x_grid), 0.85, atol=1e-3)
         assert float(f_grid) < float(f_plain) - 0.4
 
+    def test_multimodal_vs_reference_lbfgsb(self):
+        # The reference solves the handover weight with L-BFGS-B from the
+        # single init w0 (src/eincm/solver.py:165-183) — a local method: on
+        # a multi-modal landscape it converges to w0's basin. Our
+        # grid-seeded solve must end at least as low as the reference's
+        # from EVERY init it could plausibly use.
+        def f(w):
+            return -0.5 * jnp.exp(-(((w - 0.15) / 0.1) ** 2)) - 1.0 * jnp.exp(
+                -(((w - 0.85) / 0.02) ** 2)
+            )
+
+        _, f_grid = minimize_bounded_scalar(
+            f, (0.0, 1.0), maxiter=40, n_grid_probes=33
+        )
+        for w0 in (0.0, 0.25, 0.5, 1.0):
+            sres = sopt.minimize(
+                lambda w: float(f(jnp.asarray(w[0]))),
+                np.array([w0]),
+                method="L-BFGS-B",
+                bounds=[(0.0, 1.0)],
+            )
+            assert float(f_grid) <= sres.fun + 1e-5
+        # and the single-init-at-0.5 reference solve provably misses the
+        # deep basin here, so the inequality above is strict in that case
+        sres = sopt.minimize(
+            lambda w: float(f(jnp.asarray(w[0]))),
+            np.array([0.5]),
+            method="L-BFGS-B",
+            bounds=[(0.0, 1.0)],
+        )
+        assert float(f_grid) < sres.fun - 0.4
+
     def test_grid_seeding_unimodal_unchanged(self):
         def f(w):
             return (w - 0.3) ** 2

@@ -102,6 +102,38 @@ def test_banded2d_adaptive_column_band(vmax):
     assert np.abs(np.asarray(g1)[m] - np.asarray(g2)[m]).max() < 2e-2
 
 
+def test_interp_pallas_vs_xla(events):
+    """Coarse-theta interp kernel on hardware: the routed Pallas path must
+    match the XLA one-hot matmul path in value and theta-gradient (CPU
+    coverage is interpret-mode only, tests/test_interp_pallas.py)."""
+    from eincm_tpu.ops import warp
+
+    sensor, wx, wy = events
+    r = np.random.default_rng(11)
+    theta = jnp.asarray(r.normal(0, 3, (16, 16, 2)).astype(np.float32))
+    xs = wx[:150_000]
+    ys = wy[:150_000]
+    cot = jnp.asarray(r.normal(0, 1, (150_000, 2)).astype(np.float32))
+
+    assert warp.get_interp_impl() == "pallas"
+    a = warp.interp_theta_at_events(theta, xs, ys, sensor)
+    ga = jax.grad(
+        lambda t: jnp.vdot(warp.interp_theta_at_events(t, xs, ys, sensor), cot)
+    )(theta)
+    warp.set_interp_impl("xla")
+    try:
+        b = warp.interp_theta_at_events(theta, xs, ys, sensor)
+        gb = jax.grad(
+            lambda t: jnp.vdot(
+                warp.interp_theta_at_events(t, xs, ys, sensor), cot
+            )
+        )(theta)
+    finally:
+        warp.set_interp_impl("pallas")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=3e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), rtol=3e-5, atol=1e-2)
+
+
 def test_banded_fallback_unsorted(events):
     from eincm_tpu.ops.splat import events_to_pdf_frame_scatter
     from eincm_tpu.ops.splat_banded import events_to_pdf_frame_pallas_banded
