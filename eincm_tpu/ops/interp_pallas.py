@@ -37,10 +37,21 @@ from jax.experimental.pallas import tpu as pltpu
 
 # Events per grid step. Bigger chunks amortize grid-step overhead; VMEM use
 # at 65536 (blocks + two weight planes + the dot intermediate, double
-# buffered) stays under ~8 MB. 4k/16k/64k all measured within noise at DSEC
-# scale; 64k has the fewest grid steps.
+# buffered) stays under ~8 MB for solver-sized grids. 4k/16k/64k all
+# measured within noise at DSEC scale; 64k has the fewest grid steps.
+# `_prep_events` shrinks the chunk when the per-iteration weight planes
+# ((hp, ck8) + (wp, ck8) + the (2wp, ck8) intermediate) would overflow the
+# VMEM budget — at the gate's h = w = 128 ceiling the planes are 32x a
+# 16x16 grid's. (Production 16x16 grids keep the full 64k chunk.)
 _CHUNK = 65_536
 _SUBL = 8
+_PLANE_VMEM_BUDGET = 6 * 1024 * 1024  # bytes
+# NOTE (round 3, measured): fusing the two per-axis weight normalizations
+# into one 1/max(su*sv, eps) multiply on the outputs/cotangents — two fewer
+# plane-wide divides per subrow — is a NO-WIN on hardware (fwd 3.05 vs
+# 3.08 ms, bwd slightly worse; grad maxrel 5.7e-7): this kernel is
+# issue-bound like the splat kernel, not VPU-op-count-bound. Keep the
+# per-axis normalization (it matches ops/warp.py association exactly).
 
 _HIGHEST = jax.lax.Precision.HIGHEST
 
@@ -116,10 +127,13 @@ def _round_up(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
-def _prep_events(xs, ys, chunk):
+def _prep_events(xs, ys, chunk, hp, wp):
     """Round, pad with the off-sensor fill, lay out as (n_chunks*8, ck8)."""
     e = xs.shape[0]
-    chunk = min(chunk, _round_up(max(e, 1), 1024))
+    # cap the lane width so (hp + 3*wp) f32 plane rows fit the VMEM budget
+    max_ck8 = _PLANE_VMEM_BUDGET // (4 * (hp + 3 * wp))
+    max_ck8 = max(128, (max_ck8 // 128) * 128)
+    chunk = min(chunk, max_ck8 * _SUBL, _round_up(max(e, 1), 1024))
     ck8 = chunk // _SUBL
     n_chunks = max(1, -(-e // chunk))
     pad = n_chunks * chunk - e
@@ -171,7 +185,7 @@ def _interp_fwd(theta, xs, ys, sensor_size, interpret):
     hp = max(8, _round_up(h, 8))
     wp = max(8, _round_up(w, 8))
     e = xs.shape[0]
-    xi, yi, n_chunks, ck8 = _prep_events(xs, ys, _CHUNK)
+    xi, yi, n_chunks, ck8 = _prep_events(xs, ys, _CHUNK, hp, wp)
     thT = _theta_planes(theta, hp, wp)
     kernel = partial(
         _fwd_kernel, h=h, w=w, hp=hp, wp=wp,
@@ -208,7 +222,7 @@ def _interp_bwd(sensor_size, interpret, res, g):
     hp = max(8, _round_up(h, 8))
     wp = max(8, _round_up(w, 8))
     e = xs.shape[0]
-    xi, yi, n_chunks, ck8 = _prep_events(xs, ys, _CHUNK)
+    xi, yi, n_chunks, ck8 = _prep_events(xs, ys, _CHUNK, hp, wp)
     g = g.astype(jnp.float32)
     pad = xi.size - e
     g0 = jnp.concatenate([g[:, 0], jnp.zeros((pad,), jnp.float32)])

@@ -25,11 +25,11 @@ import jax.numpy as jnp
 # operand); see eincm_tpu.ops.splat for the same pattern.
 _BWD_CHUNK_BUDGET = 16 * 1024 * 1024
 
-# Coarse-grid interpolation implementation: 'pallas' routes TPU f32 calls
-# with kernel-sized grids (h, w <= 128, c == 2) to ops/interp_pallas.py
-# (weight planes stay in VMEM; ~10% faster forward and ~2x cheaper
-# backward at DSEC scale); anything else — and 'xla' — uses the one-hot
-# matmul path below, which is also the f64 / CPU reference semantics.
+# Coarse-grid interpolation implementation: 'pallas' routes TPU exact-f32
+# calls with kernel-sized grids (h, w <= 128, c == 2) to
+# ops/interp_pallas.py (weight planes stay in VMEM; ~10% faster forward and
+# ~2x cheaper backward at DSEC scale); anything else — bf16/f64, CPU, and
+# 'xla' — uses the one-hot matmul path below, the reference semantics.
 _INTERP_IMPL = "pallas"
 
 
@@ -196,11 +196,10 @@ def interp_theta_at_events(
     h, w, c = theta.shape
     H, W = sensor_size
     dtype = theta.dtype
-    f64 = jnp.result_type(dtype, jnp.float32) == jnp.float64
     if (
         _INTERP_IMPL == "pallas"
         and jax.default_backend() == "tpu"
-        and not f64
+        and dtype == jnp.float32
         and c == 2
         and h <= 128
         and w <= 128

@@ -61,7 +61,7 @@ def loss(th):
     out, _ = ref_losses.loss_func(
         th, jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(ts),
         jnp.asarray(edges), jnp.asarray(edge_ts),
-        %(alpha)f, %(beta)f, 0.0, 0.0, 0, 5, (H, W), "bilinear",
+        %(alpha)f, %(beta)f, %(gamma)f, %(delta)f, 0, 5, (H, W), "bilinear",
     )
     return out
 
@@ -71,10 +71,10 @@ print("ref f64:", float(f))
 """
 
 
-def run_reference_phase(out_path):
+def run_reference_phase(out_path, alpha=ALPHA, beta=BETA, gamma=0.0, delta=0.0):
     code = _REF_PHASE % dict(
         H=H, W=W, N=N_EVENTS, SEED=SEED, ch=COARSE[0], cw=COARSE[1],
-        alpha=ALPHA, beta=BETA, out=out_path,
+        alpha=alpha, beta=beta, gamma=gamma, delta=delta, out=out_path,
     )
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
@@ -99,12 +99,18 @@ if __name__ == "__main__":
 
     # cache keyed on every parameter that determines the reference result —
     # a bare filename silently reused stale baselines after edits
-    key = f"{H}x{W}_n{N_EVENTS}_s{SEED}_a{ALPHA:g}_b{BETA:g}_c{COARSE[0]}x{COARSE[1]}"
-    ref_npz = os.path.join(tempfile.gettempdir(), f"eincm_dsec_ref_{key}.npz")
-    if not os.path.exists(ref_npz):
-        run_reference_phase(ref_npz)
-    ref = np.load(ref_npz)
-    f_ref, g_ref = ref["f"], ref["g"]
+    def ref_loss_grad(alpha, beta, gamma, delta):
+        key = (
+            f"{H}x{W}_n{N_EVENTS}_s{SEED}_a{alpha:g}_b{beta:g}"
+            f"_g{gamma:g}_d{delta:g}_c{COARSE[0]}x{COARSE[1]}"
+        )
+        npz = os.path.join(tempfile.gettempdir(), f"eincm_dsec_ref_{key}.npz")
+        if not os.path.exists(npz):
+            run_reference_phase(npz, alpha, beta, gamma, delta)
+        ref = np.load(npz)
+        return ref["f"], ref["g"]
+
+    f_ref, g_ref = ref_loss_grad(ALPHA, BETA, 0.0, 0.0)
 
     import jax
     import jax.numpy as jnp
@@ -161,6 +167,39 @@ if __name__ == "__main__":
         except Exception as e:  # e.g. HBM OOM of a non-shipping impl
             results[f"loss_relerr_{impl}"] = f"failed: {type(e).__name__}"
             print(f"{impl} loss/grad failed: {e}"[:500], file=sys.stderr)
+
+    # ---- per-objective f32 stress (SURVEY §7: "parity must be validated
+    # per-objective"): gamma (TV regularizer, finest-level gated — active in
+    # the MVSEC-outdoor production tuning, run.sh:73-97) and delta (event-
+    # collapse divergence) each activated at DSEC scale on the shipping
+    # kernel, against their own f64 reference evaluations -------------------
+    for case, (a_, b_, g_, d_) in {
+        "gamma_tv": (20.0, 35.0, 0.0025, 0.0),
+        "delta_collapse": (20.0, 35.0, 0.0, 1.0),
+    }.items():
+        fr, gr = ref_loss_grad(a_, b_, g_, d_)
+        p = LossParams(a_, b_, g_, d_)
+        tpu_splat.set_splat_impl("pallas_banded2d")
+
+        @jax.jit
+        def fg2(th, p=p, exs=jnp.asarray(xs_t), eys=jnp.asarray(ys_t),
+                ets=jnp.asarray(ts_t)):
+            wstat = compute_window_statics(
+                exs, eys, jnp.asarray(edges64, jnp.float32), (H, W)
+            )
+            return jax.value_and_grad(solver_loss)(
+                th, exs, eys, ets,
+                jnp.asarray(edges64, jnp.float32), jnp.asarray(edge_ts),
+                p, 0, statics, wstat,
+            )
+
+        try:
+            f, g = fg2(jnp.asarray(theta))
+            results[f"loss_relerr_{case}"] = rel_err(float(f), fr)
+            results[f"grad_relerr_{case}"] = rel_err(np.asarray(g), gr)
+        except Exception as e:
+            results[f"loss_relerr_{case}"] = f"failed: {type(e).__name__}"
+            print(f"{case} loss/grad failed: {e}"[:500], file=sys.stderr)
 
     # ---- full DSEC-scale solve: final AEE per kernel ---------------------
     from eincm_tpu.data.staging import stage_datasample

@@ -69,11 +69,12 @@ def solve_latency(impl):
     float(res.final_theta_pyr[0].sum())
     res = solver(staged[1], res.final_theta_pyr, is_first=False)
     float(res.final_theta_pyr[0].sum())
-    res0 = res
 
+    # carry the handover chain ACROSS rounds (exactly bench.py's loop): a
+    # round that restarted from window 1's own converged theta would make
+    # that window's solve ~free and bias the absolute figure low
     def one_round():
         nonlocal res
-        res = res0
         t0 = time.perf_counter()
         for k in range(1, 6):
             res = solver(staged[k], res.final_theta_pyr, is_first=False)

@@ -34,7 +34,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from eincm_tpu.ops.warp import interp_theta_at_events
+from eincm_tpu.ops.warp import interp_theta_at_events, set_interp_impl
+
+# this proto BENCHMARKS AGAINST the XLA path — without this the production
+# default would route interp_theta_at_events to the landed Pallas kernel
+# and the baseline would be the kernel itself
+set_interp_impl("xla")
 
 
 def _dot3(a, b, dims):

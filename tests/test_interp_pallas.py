@@ -28,16 +28,20 @@ def _case(rng, n, gh, gw, spread=0.0):
 
 
 @pytest.mark.parametrize(
-    "gh,gw,n",
+    "gh,gw,n,spread",
     [
-        (16, 16, 3000),
-        (1, 1, 257),  # level-0 grid, non-128-multiple event count
-        (8, 11, 1024),  # non-square, non-8-multiple width
-        (3, 5, 31),
+        (16, 16, 3000, 0.0),
+        (1, 1, 257, 0.0),  # level-0 grid, non-128-multiple event count
+        (8, 11, 1024, 0.0),  # non-square, non-8-multiple width
+        (3, 5, 31, 0.0),
+        # off-sensor events (real warped data): the u<0 / u>n-1 edge
+        # renormalization branch of the axis weights
+        (16, 16, 2048, 25.0),
+        (4, 6, 513, 3.0),
     ],
 )
-def test_forward_matches_xla(rng, gh, gw, n):
-    theta, xs, ys = _case(rng, n, gh, gw)
+def test_forward_matches_xla(rng, gh, gw, n, spread):
+    theta, xs, ys = _case(rng, n, gh, gw, spread)
     a = interp_theta_at_events_pallas(theta, xs, ys, SENSOR, True)
     b = interp_theta_at_events(theta, xs, ys, SENSOR)
     # The kernel contracts (theta @ uy) then reduces over x-weights; the XLA
@@ -95,6 +99,31 @@ def test_grad_ignores_padded_events(rng):
         interp_theta_at_events_pallas(t, xs2, ys2, SENSOR, True), cot2
     ))(theta)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-6)
+
+
+def test_large_grid_vmem_capped_chunk(rng):
+    """At the routing ceiling (h = w = 128) the per-iteration weight planes
+    are 32x a 16x16 grid's; _prep_events must cap the lane width to the
+    VMEM budget and the capped multi-chunk kernel must still match XLA."""
+    import eincm_tpu.ops.interp_pallas as mod
+
+    hp = wp = 128
+    max_ck8 = mod._PLANE_VMEM_BUDGET // (4 * (hp + 3 * wp))
+    max_ck8 = max(128, (max_ck8 // 128) * 128)
+    n = max_ck8 * mod._SUBL * 2 + 511  # forces >1 chunk under the cap
+    xi, yi, n_chunks, ck8 = mod._prep_events(
+        jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.float32),
+        mod._CHUNK, hp, wp,
+    )
+    assert ck8 <= max_ck8 and n_chunks >= 3
+    assert 4 * ck8 * (hp + 3 * wp) <= mod._PLANE_VMEM_BUDGET
+
+    theta, xs, ys = _case(rng, 4096, 128, 128, 8.0)
+    a = interp_theta_at_events_pallas(theta, xs, ys, SENSOR, True)
+    b = interp_theta_at_events(theta, xs, ys, SENSOR)
+    np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=3e-5, atol=1e-5
+    )
 
 
 def test_multi_chunk_consistency(rng):
