@@ -372,6 +372,14 @@ class EINCMExperiment:
         # chunking also moves each super-step's first-window prior to the
         # exact carried value (see PhaseSettings).
         pct = self.cfg.phases.parallel_checkpoint_every_percent
+        serial_pct = self.cfg.phases.checkpoint_every_percent
+        if pct is None and serial_pct != 25.0:  # 25.0 = dataclass default
+            log(
+                "NOTE: phases.checkpoint_every_percent is customized but "
+                "only applies to the serial path; parallel runs checkpoint "
+                "via phases.parallel_checkpoint_every_percent (unset — no "
+                "mid-sequence checkpoints this run)"
+            )
         total = len(dl)
         if pct and 0 < pct < 100 and n > n_dev:
             log(

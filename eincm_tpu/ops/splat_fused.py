@@ -294,8 +294,12 @@ def fully_fused_warp_splat_frame(
     )
     smin = jnp.min(s_cands, axis=0)
     smax = jnp.max(s_cands, axis=0)
-    top = jnp.clip(ymax - smin + hw, 0, H - 1)
-    bot = jnp.clip(ymin - smax - hw, 0, H - 1)
+    # +0.5 slack: the kernel splats around round(cy), which can move the
+    # center up to half a row beyond the unrounded interval (and
+    # _band_starts truncates the fractional rmax, erasing sub-row slack) —
+    # without it boundary-row splat mass is silently dropped with ok=True
+    top = jnp.clip(ymax - smin + hw + 0.5, 0, H - 1)
+    bot = jnp.clip(ymin - smax - hw - 0.5, 0, H - 1)
     # synthesize 2-pseudo-event row stats per chunk and reuse the banded
     # kernel's band-start/validity machinery
     inside = jnp.stack([any_f, any_f], axis=1)

@@ -1,8 +1,11 @@
-"""Paired A/B of the interp kernel's fused vs per-axis normalization,
-plus a DSEC-scale full-window solve timing (refreshes the PARITY.md
-2.30 s/window figure with the interp kernel in the path).
+"""DSEC-scale timing: interp kernel fwd / fwd+bwd + chained window solves.
 
-Run on the real TPU:  python scripts/interp_norm_ab.py
+Refreshes the PARITY.md interp-kernel and s/window figures. (The fused-
+normalization kernel variant this script once A/B'd was measured a no-win
+— fwd 3.05 vs 3.08 ms, bwd slightly worse — and removed; see the NOTE in
+ops/interp_pallas.py and git history for the variant itself.)
+
+Run on the real TPU:  python scripts/dsec_solve_timing.py
 """
 
 import os
@@ -19,15 +22,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-import eincm_tpu.ops.interp_pallas as mod
 from eincm_tpu.ops.interp_pallas import interp_theta_at_events_pallas
 
 H, W = 480, 640
 E = 1_500_000
 
 
-def build(fused):
-    mod._FUSED_NORM = fused
+def interp_kernel_timing():
     rng = np.random.default_rng(0)
     xs = jnp.asarray(rng.uniform(-20, W + 19, E).astype(np.float32))
     ys = jnp.asarray(rng.uniform(-20, H + 19, E).astype(np.float32))
@@ -48,27 +49,23 @@ def build(fused):
         )
     )
     float(fwd(theta, jnp.float32(0.0)))
-    v, g = vg(theta, jnp.float32(0.0))
+    v, _ = vg(theta, jnp.float32(0.0))
     float(v)
 
-    def run_fwd():
-        t0 = time.perf_counter()
-        acc = jnp.float32(0.0)
-        for i in range(20):
-            acc = acc + fwd(theta, jnp.float32(i))
-        float(acc)
-        return (time.perf_counter() - t0) / 20
+    def best_of(fn, rounds=5, iters=20):
+        best = float("inf")
+        for _ in range(rounds):
+            t0 = time.perf_counter()
+            acc = jnp.float32(0.0)
+            for i in range(iters):
+                acc = acc + fn(jnp.float32(i))
+            float(acc)
+            best = min(best, (time.perf_counter() - t0) / iters)
+        return best * 1e3
 
-    def run_vg():
-        t0 = time.perf_counter()
-        acc = jnp.float32(0.0)
-        for i in range(20):
-            v, g = vg(theta, jnp.float32(i))
-            acc = acc + v + g.sum()
-        float(acc)
-        return (time.perf_counter() - t0) / 20
-
-    return run_fwd, run_vg, (theta, cot, fwd, vg)
+    f_ms = best_of(lambda s: fwd(theta, s))
+    vg_ms = best_of(lambda s: (lambda out: out[0] + out[1].sum())(vg(theta, s)))
+    print(f"interp kernel: fwd {f_ms:.2f} ms   fwd+bwd {vg_ms:.2f} ms")
 
 
 def dsec_solve_timing():
@@ -121,41 +118,11 @@ def dsec_solve_timing():
         res = solver(staged[k], res.final_theta_pyr, is_first=False)
         float(res.final_theta_pyr[0].sum())
         times.append(time.perf_counter() - t0)
-    return times
-
-
-def main():
-    benches = {f: build(f) for f in (False, True)}
-    rows = {f: {"fwd": [], "vg": []} for f in (False, True)}
-    for _ in range(5):
-        for f in (False, True):
-            run_fwd, run_vg, _ = benches[f]
-            rows[f]["fwd"].append(run_fwd())
-            rows[f]["vg"].append(run_vg())
-    for f in (False, True):
-        name = "fused" if f else "plain"
-        fw = min(rows[f]["fwd"]) * 1e3
-        vg = min(rows[f]["vg"]) * 1e3
-        print(f"interp[{name}]: fwd {fw:.2f} ms   fwd+bwd {vg:.2f} ms  "
-              "(rounds fwd: "
-              + ", ".join(f"{x*1e3:.2f}" for x in rows[f]["fwd"]) + ")")
-
-    # numerics: both flags must agree to f32 association tolerance
-    tA = benches[False][2]
-    tB = benches[True][2]
-    vA, gA = tA[3](tA[0], jnp.float32(0.0))
-    vB, gB = tB[3](tB[0], jnp.float32(0.0))
-    print(f"fused-vs-plain value relerr: "
-          f"{abs(float(vA) - float(vB)) / abs(float(vA)):.2e}  "
-          f"grad maxrel: "
-          f"{float(jnp.max(jnp.abs(gA - gB)) / jnp.max(jnp.abs(gA))):.2e}")
-
-    print("# DSEC-scale chained window solves (production tuning)...",
-          file=sys.stderr)
-    times = dsec_solve_timing()
-    print("dsec_window_solve_s: "
-          + ", ".join(f"{t:.2f}" for t in times))
+    print("dsec_window_solve_s: " + ", ".join(f"{t:.2f}" for t in times))
 
 
 if __name__ == "__main__":
-    main()
+    interp_kernel_timing()
+    print("# DSEC-scale chained window solves (production tuning)...",
+          file=sys.stderr)
+    dsec_solve_timing()

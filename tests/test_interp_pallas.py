@@ -119,7 +119,18 @@ def test_large_grid_vmem_capped_chunk(rng):
     assert 4 * ck8 * (hp + 3 * wp) <= mod._PLANE_VMEM_BUDGET
 
     theta, xs, ys = _case(rng, 4096, 128, 128, 8.0)
-    a = interp_theta_at_events_pallas(theta, xs, ys, SENSOR, True)
+    # shrink the budget so the CAPPED path actually runs multi-chunk here
+    # (at the real budget 4096 events fit one chunk and the cap is idle)
+    orig = mod._PLANE_VMEM_BUDGET
+    try:
+        mod._PLANE_VMEM_BUDGET = 4 * 128 * (hp + 3 * wp)  # max_ck8 == 128
+        xi, yi, n_chunks, ck8 = mod._prep_events(
+            xs, ys, mod._CHUNK, hp, wp
+        )
+        assert ck8 == 128 and n_chunks == 4
+        a = interp_theta_at_events_pallas(theta, xs, ys, SENSOR, True)
+    finally:
+        mod._PLANE_VMEM_BUDGET = orig
     b = interp_theta_at_events(theta, xs, ys, SENSOR)
     np.testing.assert_allclose(
         np.asarray(a), np.asarray(b), rtol=3e-5, atol=1e-5
@@ -127,17 +138,30 @@ def test_large_grid_vmem_capped_chunk(rng):
 
 
 def test_multi_chunk_consistency(rng):
-    """> one grid step (chunk adapts to event count but caps at 64k)."""
+    """> one grid step (chunk adapts to event count but caps at 64k) —
+    forward AND backward: the bwd kernel's cross-grid-step accumulator
+    (init at step 0, flush at the last step) only engages with n_chunks > 1
+    and otherwise has no interpret-mode coverage."""
     import eincm_tpu.ops.interp_pallas as mod
 
     theta, xs, ys = _case(rng, 5000, 16, 16)
+    cot = jnp.asarray(rng.normal(0, 1, (5000, 2)).astype(np.float32))
     orig = mod._CHUNK
     try:
         mod._CHUNK = 2048  # force 3 chunks
         a = interp_theta_at_events_pallas(theta, xs, ys, SENSOR, True)
+        ga = jax.grad(lambda t: jnp.vdot(
+            interp_theta_at_events_pallas(t, xs, ys, SENSOR, True), cot
+        ))(theta)
     finally:
         mod._CHUNK = orig
     b = interp_theta_at_events(theta, xs, ys, SENSOR)
+    gb = jax.grad(lambda t: jnp.vdot(
+        interp_theta_at_events(t, xs, ys, SENSOR), cot
+    ))(theta)
     np.testing.assert_allclose(
         np.asarray(a), np.asarray(b), rtol=3e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(ga), np.asarray(gb), rtol=1e-4, atol=1e-4
     )

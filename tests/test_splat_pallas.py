@@ -211,3 +211,32 @@ def test_banded_unaligned_column_band(rng):
     np.testing.assert_allclose(
         np.asarray(g1)[m], np.asarray(g2)[m], rtol=1e-3, atol=1e-5
     )
+
+
+def test_fully_fused_band_bound_includes_rounded_row(rng):
+    """Regression (round-3 review): the fused prototype's per-chunk band
+    bound must include the in-kernel round() — a displacement that lands
+    events at cy = *.6 splats into row round(cy)+hw, which the unrounded
+    bound truncated away while still reporting ok=True (silently dropped
+    boundary-row mass)."""
+    from eincm_tpu.ops.splat_fused import fully_fused_warp_splat_frame
+
+    H, W = BSENSOR
+    n = 512
+    xs = jnp.round(jnp.asarray(rng.uniform(5, W - 6, n).astype(np.float32)))
+    ys = jnp.full((n,), 267.0, jnp.float32)  # pre-rounded, like the bench
+    ts = jnp.ones((n,), jnp.float32)
+    # constant +4.4 px/s vertical flow: cy = 267 - 4.4 = 262.6 for every
+    # event, so the splat window is rows 262..264 around round(cy) = 263
+    theta = jnp.zeros((16, 16, 2), jnp.float32).at[..., 1].set(4.4)
+    frame, ok = fully_fused_warp_splat_frame(
+        xs, ys, ts, theta, 0.0, BSENSOR, interpret=True
+    )
+    assert bool(ok)
+    oracle = events_to_pdf_frame(
+        xs, jnp.full((n,), 262.6, jnp.float32), BSENSOR
+    )
+    assert float(oracle[264].sum()) > 1.0  # the boundary row carries mass
+    np.testing.assert_allclose(
+        np.asarray(frame), np.asarray(oracle), rtol=1e-4, atol=1e-4
+    )
