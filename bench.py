@@ -34,85 +34,17 @@ import numpy as np
 def measure_solve_latency():
     """Per-window pyramid solve at MVSEC scale on the shipped default.
 
-    Reference tuning (run.sh:41-72 / configs/mvsec_indoor.yaml): 256x336
-    sensor, 30k events/window, 5 pyramid levels with growing maxiters
-    (40,33,25,18,10), gtol 1e-4, extra attempts at levels 0/1, handover
-    weight solved at level 0, 'armijo' line search, row-banded Pallas splat;
-    2 reference edge maps. Windows chain through the handover prior exactly
-    like a sequential sequence solve; one sync per round of 5 windows (the
-    experiment manager pipelines readbacks the same way), so the per-window
-    figure is the steady-state sequential cost. p50 over rounds.
+    Workload, tuning, and honesty rationale live in
+    `eincm_tpu.utils.benchmarks.build_mvsec_solve_bench` (shared with the
+    paired A/B script): 6 distinct windows whose GT velocity rotates 15°
+    per window, chained through the handover prior like a sequential
+    sequence solve, one sync per 5-window round. p50 over rounds.
     """
-    from eincm_tpu.data.staging import stage_datasample
-    from eincm_tpu.data.synthetic import SyntheticDataLoader
-    from eincm_tpu.experiments.config import EdgeConfig
-    from eincm_tpu.models.loss import LossParams
-    from eincm_tpu.models.pyramid import (
-        HandoverSettings,
-        SolverConfig,
-        make_window_solver,
-    )
-    from eincm_tpu.ops.splat import set_splat_impl
+    from eincm_tpu.utils.benchmarks import build_mvsec_solve_bench, solve_diag_str
 
-    set_splat_impl("pallas_banded")
-    H, W = 256, 336
-    n_ev = 30_000
-
-    # 6 DISTINCT windows of a moving-dot sequence through the production
-    # staging path (Canny + IEDT edge surfaces, row-sorted events): the
-    # handover chain helps but each window still does real optimization
-    # work — re-solving one repeated window converges in ~1 iteration and
-    # would understate latency ~4x.
-    dl = SyntheticDataLoader(
-        sensor_size=(H, W), n_windows=6, des_n_events=n_ev,
-        velocity=(4.0, -3.0), n_features=180, seed=1,
-    )
-    dl.get_ready()
-    edge_fn = EdgeConfig(
-        enable_image_preprocessing=False, smoothen_method="eincm_iedt"
-    ).make_edge_fn()
-    staged = [
-        stage_datasample(
-            dl[i], edge_fn=edge_fn, preprocess=False, pad_to=n_ev,
-            sort_by_row=True,
-        ).window
-        for i in range(6)
-    ]
-
-    cfg = SolverConfig(
-        n_pyr_lvls=5,
-        sensor_size=(H, W),
-        params=LossParams(alpha=20.0, beta=35.0, gamma=0.0, delta=0.0),
-        theta_opt_maxiters=(40, 33, 25, 18, 10),
-        theta_gtol=1e-4,
-        n_extra_attempts={0: 1, 1: 1},
-        handover=HandoverSettings(
-            use_handover=True, solve_handover_for_levels=(0,)
-        ),
-    )
-    solver = make_window_solver(cfg)
-
-    # compile both variants + first sync
-    res = solver(staged[0], cfg.zero_pyramid(), is_first=True)
-    float(res.final_theta_pyr[0].sum())
-    res = solver(staged[1], res.final_theta_pyr, is_first=False)
-    float(res.final_theta_pyr[0].sum())
-    iters = [int(s.iter_num) for s in res.theta_opt_states]
-    print(
-        f"# solve diag: iters/level={iters} "
-        f"f0={float(res.theta_opt_states[0].fun_val):.4f} "
-        f"theta0_mean={np.asarray(res.final_theta_pyr[0]).reshape(-1, 2).mean(0)}"
-        " (GT v=[4 -3])",
-        file=sys.stderr,
-    )
-
-    chain, rounds, samples = 5, 5, []
-    for _ in range(rounds):
-        t0 = time.perf_counter()
-        for k in range(1, 1 + chain):
-            res = solver(staged[k], res.final_theta_pyr, is_first=False)
-        float(res.final_theta_pyr[0].sum())  # one sync per round
-        samples.append((time.perf_counter() - t0) / chain)
+    one_round, res = build_mvsec_solve_bench()
+    print(f"# solve diag: {solve_diag_str(res)}", file=sys.stderr)
+    samples = [one_round() for _ in range(5)]
     return float(np.median(samples) * 1e3)
 
 

@@ -195,6 +195,7 @@ class PhaseSettings:
     # multiple [start, end) ranges — the reference's outdoor_day1 'split'
     # range mode (exp_mgr.py:261-265)
     run_idx_ranges: Optional[Tuple[Tuple[int, int], ...]] = None
+    # serial-path mid-sequence checkpoint cadence; 0 (or >=100) disables
     checkpoint_every_percent: float = 25.0
     # parallel-mode super-step checkpointing cadence. None (default) keeps
     # the whole-sequence single-batch schedule. NOTE: enabling this changes

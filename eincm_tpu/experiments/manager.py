@@ -81,7 +81,8 @@ class EINCMExperiment:
         self._is_first = True
         self._ckpt_idx = -1
         self._rescue_solver = None  # lazily-compiled wolfe variant
-        self.n_rescued = 0
+        self.n_rescue_attempts = 0  # anomalies that triggered a wolfe re-solve
+        self.n_rescued = 0  # re-solves that actually replaced the result
 
     # ------------------------------------------------------------------ prep
 
@@ -147,8 +148,13 @@ class EINCMExperiment:
             self._prior_pyr = self.solver_cfg.zero_pyramid()
 
         n = len(dl)
-        ckpt_every = max(
-            1, int(np.ceil(n * self.cfg.phases.checkpoint_every_percent / 100.0))
+        # 0 (or >=100) disables mid-sequence checkpoints, matching the
+        # parallel path's gate — previously 0 meant "after every window"
+        ckpt_pct = self.cfg.phases.checkpoint_every_percent
+        ckpt_every = (
+            max(1, int(np.ceil(n * ckpt_pct / 100.0)))
+            if ckpt_pct and 0 < ckpt_pct < 100
+            else None
         )
         t_begin = time.perf_counter()
         n_done = 0
@@ -174,7 +180,7 @@ class EINCMExperiment:
                 f"[{idx + 1}/{n}] solved (f={f0:.4f}, iters={iters}, "
                 f"avg {dt / n_done:.1f}s/window)"
             )
-            if n_done % ckpt_every == 0:
+            if ckpt_every and n_done % ckpt_every == 0:
                 self.save_checkpoint(idx, n)
 
         def stage_for_solve(ds):
@@ -232,10 +238,11 @@ class EINCMExperiment:
             pending = (idx, staged, prior_before, first_before, res)
         if pending is not None:
             check_and_finalize(pending)
-        if self.n_rescued:
+        if self.n_rescue_attempts:
             warn(
-                f"armijo rescue engaged on {self.n_rescued}/{len(indices)} "
-                "windows (re-solved with strong Wolfe)"
+                f"armijo rescue: {self.n_rescue_attempts}/{len(indices)} "
+                f"windows re-solved with strong Wolfe, {self.n_rescued} "
+                "replaced by the Wolfe result"
             )
 
         validate_opt_results(self.opt_results, self.solver_cfg.n_pyr_lvls)
@@ -243,9 +250,7 @@ class EINCMExperiment:
             self.out_dir / "opt_results.npz", self.opt_results, self.cfg.to_dict()
         )
         ok(f"opt_results.npz saved ({len(self.opt_results)} windows)")
-        if self.cfg.phases.delete_checkpoints_at_end:
-            for p in self.ckpt_dir.glob("checkpoint_*.npz"):
-                p.unlink()
+        self._delete_checkpoints_if_configured()
         return self.opt_results
 
     def _stream_sharded_batch(self, dl, indices, mesh):
@@ -431,9 +436,7 @@ class EINCMExperiment:
             f"opt_results.npz saved ({n} windows, {mode} over "
             f"{n_dev} device(s))"
         )
-        if self.cfg.phases.delete_checkpoints_at_end:
-            for p in self.ckpt_dir.glob("checkpoint_*.npz"):
-                p.unlink()
+        self._delete_checkpoints_if_configured()
         return self.opt_results
 
     def _solve_one(self, solver, staged, prior, is_first):
@@ -479,15 +482,21 @@ class EINCMExperiment:
         wolfe_res = self._solve_one(self._rescue_solver, staged, prior, False)
         f_a = float(armijo_res.theta_opt_states[0].fun_val)
         f_w = float(wolfe_res.theta_opt_states[0].fun_val)
-        self.n_rescued += 1
+        self.n_rescue_attempts += 1
         warn(
             f"[{idx}] armijo anomaly (lvl-0 f={f_a:.6f} vs prior "
             f"f={float(armijo_res.prior_loss_lvl0):.6f}); wolfe rescue "
             f"f={f_w:.6f}"
         )
         if f_w <= f_a or not np.isfinite(f_a):
+            self.n_rescued += 1
             return wolfe_res
         return armijo_res
+
+    def _delete_checkpoints_if_configured(self):
+        if self.cfg.phases.delete_checkpoints_at_end:
+            for p in self.ckpt_dir.glob("checkpoint_*.npz"):
+                p.unlink()
 
     def save_checkpoint(self, idx: int, total: int):
         path = self.ckpt_dir / f"checkpoint_{idx}_{total}.npz"

@@ -74,7 +74,7 @@ def run(tag, line_search, rescue, out_root):
         float(np.asarray(exp.eval_results[f"datasample_idx_{i}"]["evals"]["AEE"]))
         for i in range(10)
     ]
-    return aees, exp.n_rescued, solve_s
+    return aees, (exp.n_rescue_attempts, exp.n_rescued), solve_s
 
 
 def main():
@@ -85,10 +85,11 @@ def main():
         ("armijo", "armijo", False),
         ("armijo_rescue", "armijo", True),
     ):
-        aees, n_rescued, solve_s = run(tag, ls, rescue, out_root)
+        aees, (n_attempts, n_applied), solve_s = run(tag, ls, rescue, out_root)
         res[f"aee_{tag}"] = [round(a, 4) for a in aees]
         res[f"aee_mean_{tag}"] = round(float(np.mean(aees)), 4)
-        res[f"n_rescued_{tag}"] = n_rescued
+        res[f"n_rescue_attempts_{tag}"] = n_attempts
+        res[f"n_rescued_{tag}"] = n_applied
         res[f"solve_s_{tag}"] = round(solve_s, 2)
     for tag in ("armijo", "armijo_rescue"):
         d = np.asarray(res[f"aee_{tag}"]) - np.asarray(res["aee_wolfe"])

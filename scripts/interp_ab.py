@@ -22,66 +22,12 @@ import numpy as np
 
 
 def solve_latency(impl):
-    from eincm_tpu.data.staging import stage_datasample
-    from eincm_tpu.data.synthetic import SyntheticDataLoader
-    from eincm_tpu.experiments.config import EdgeConfig
-    from eincm_tpu.models.loss import LossParams
-    from eincm_tpu.models.pyramid import (
-        HandoverSettings,
-        SolverConfig,
-        make_window_solver,
-    )
-    from eincm_tpu.ops.splat import set_splat_impl
-    from eincm_tpu.ops.warp import set_interp_impl
+    # one shared definition of the MVSEC-scale workload (see its docstring
+    # for the rotated-velocity honesty rationale) — the interp impl is
+    # pinned before the solver traces
+    from eincm_tpu.utils.benchmarks import build_mvsec_solve_bench
 
-    set_splat_impl("pallas_banded")
-    set_interp_impl(impl)
-    H, W = 256, 336
-    n_ev = 30_000
-    dl = SyntheticDataLoader(
-        sensor_size=(H, W), n_windows=6, des_n_events=n_ev,
-        velocity=(4.0, -3.0), n_features=180, seed=1,
-    )
-    dl.get_ready()
-    edge_fn = EdgeConfig(
-        enable_image_preprocessing=False, smoothen_method="eincm_iedt"
-    ).make_edge_fn()
-    staged = [
-        stage_datasample(
-            dl[i], edge_fn=edge_fn, preprocess=False, pad_to=n_ev,
-            sort_by_row=True,
-        ).window
-        for i in range(6)
-    ]
-    cfg = SolverConfig(
-        n_pyr_lvls=5,
-        sensor_size=(H, W),
-        params=LossParams(alpha=20.0, beta=35.0, gamma=0.0, delta=0.0),
-        theta_opt_maxiters=(40, 33, 25, 18, 10),
-        theta_gtol=1e-4,
-        n_extra_attempts={0: 1, 1: 1},
-        handover=HandoverSettings(
-            use_handover=True, solve_handover_for_levels=(0,)
-        ),
-    )
-    solver = make_window_solver(cfg)
-    res = solver(staged[0], cfg.zero_pyramid(), is_first=True)
-    float(res.final_theta_pyr[0].sum())
-    res = solver(staged[1], res.final_theta_pyr, is_first=False)
-    float(res.final_theta_pyr[0].sum())
-
-    # carry the handover chain ACROSS rounds (exactly bench.py's loop): a
-    # round that restarted from window 1's own converged theta would make
-    # that window's solve ~free and bias the absolute figure low
-    def one_round():
-        nonlocal res
-        t0 = time.perf_counter()
-        for k in range(1, 6):
-            res = solver(staged[k], res.final_theta_pyr, is_first=False)
-        float(res.final_theta_pyr[0].sum())
-        return (time.perf_counter() - t0) / 5
-
-    return one_round, res
+    return build_mvsec_solve_bench(interp_impl=impl)
 
 
 def throughput_fn(impl):

@@ -138,6 +138,17 @@ class TestExperimentRun:
                 rec["solver_final_results"]["final_theta_pyr"]["pyr_lvl_0"],
             )
 
+    def test_checkpoint_zero_percent_disables(self, tmp_path):
+        """Regression (round-3 review): 0 meant 'checkpoint after every
+        window' in the serial path (ceil(n*0/100) -> max(1, 0) == 1) while
+        the parallel path treats 0 as off; both must disable."""
+        cfg = tiny_cfg(tmp_path)
+        cfg.phases.checkpoint_every_percent = 0
+        cfg.phases.delete_checkpoints_at_end = False
+        exp = EINCMExperiment(cfg)
+        exp.run_solver()
+        assert not list(exp.ckpt_dir.glob("checkpoint_*.npz"))
+
     def test_plot_phase(self, tmp_path):
         cfg = tiny_cfg(tmp_path)
         cfg.phases.plot = True
@@ -403,7 +414,8 @@ class TestArmijoRescue:
             EINCMExperiment, "_anomalous", staticmethod(lambda res: True)
         )
         exp.run_solver()
-        assert exp.n_rescued == cfg.dataset.n_windows - 1
+        assert exp.n_rescue_attempts == cfg.dataset.n_windows - 1
+        assert 0 <= exp.n_rescued <= exp.n_rescue_attempts
         validate_opt_results(exp.opt_results, cfg.solver.n_pyr_lvls)
 
     def test_rescue_off_when_wolfe(self, tmp_path, monkeypatch):
@@ -415,7 +427,7 @@ class TestArmijoRescue:
             EINCMExperiment, "_anomalous", staticmethod(lambda res: True)
         )
         exp.run_solver()
-        assert exp.n_rescued == 0
+        assert exp.n_rescue_attempts == 0 and exp.n_rescued == 0
 
 
 def test_parallel_windows_checkpoint_resume(tmp_path):
