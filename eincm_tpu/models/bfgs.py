@@ -297,6 +297,8 @@ def minimize_bfgs(
     line_search: str = "wolfe",
     fun: "Callable[[jax.Array], jax.Array] | None" = None,
     heartbeat_fn: "Callable | None" = None,
+    h0: "jax.Array | None" = None,
+    return_h_inv: bool = False,
 ):
     """Dense-Hessian BFGS, jittable; semantics follow scipy's 'BFGS'.
 
@@ -318,9 +320,17 @@ def minimize_bfgs(
             replacement for the reference's per-iteration loss printing
             (src/eincm/callbacks.py:131-151). Each firing is a host hop;
             keep it opt-in on relayed backends.
+        h0: optional (D, D) initial inverse-Hessian approximation (e.g. a
+            previous related solve's final one — warm start); identity when
+            None (scipy-parity). Non-finite or non-descent inits are safe:
+            the body falls back to steepest descent and the retry loop
+            resets to identity.
+        return_h_inv: also return the final inverse-Hessian (appended last
+            to the return tuple) so a caller can chain warm starts.
 
     Returns:
-        BFGSResult, or (BFGSResult, BFGSHistory) when record_history.
+        BFGSResult, with BFGSHistory appended when record_history and the
+        final (D, D) inverse-Hessian appended when return_h_inv.
     """
     assert line_search in ("wolfe", "armijo")
     if line_search == "armijo":
@@ -433,11 +443,17 @@ def minimize_bfgs(
         )
 
     capacity = maxiter * (n_extra_attempts + 1) if record_history else 0
+    if h0 is None:
+        h_init = eye
+    else:
+        # a poisoned warm start must not poison the solve: any non-finite
+        # entry falls back to identity wholesale
+        h_init = jnp.where(jnp.all(jnp.isfinite(h0)), h0, eye)
     init = _BFGSState(
         x=x0,
         f=f0,
         g=g0,
-        h_inv=eye,
+        h_inv=h_init,
         f_old=f0 + jnp.linalg.norm(g0) / 2.0 + 1.0,
         k_att=jnp.int32(0),
         k_total=jnp.int32(0),
@@ -461,9 +477,12 @@ def minimize_bfgs(
         success=success,
         status=out.status,
     )
+    rets = (result,)
     if record_history:
-        return result, BFGSHistory(xs=out.hist_xs, fs=out.hist_fs, n=out.k_total)
-    return result
+        rets += (BFGSHistory(xs=out.hist_xs, fs=out.hist_fs, n=out.k_total),)
+    if return_h_inv:
+        rets += (out.h_inv,)
+    return rets if len(rets) > 1 else result
 
 
 def minimize_bounded_scalar(

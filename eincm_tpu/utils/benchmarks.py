@@ -34,6 +34,47 @@ MVSEC_N_EVENTS = 30_000
 _SPEED = 5.0  # |V| px/s, matching the round-2 (4, -3) workload magnitude
 
 
+def stage_mvsec_windows(n_windows: int = 6, rotate_deg: float = 15.0):
+    """Stage ``n_windows`` MVSEC-scale windows whose GT velocity rotates
+    ``rotate_deg`` per window at constant speed (see module docstring).
+
+    Returns (staged_windows, velocities) — each staged entry is the
+    device-ready WindowSample, each velocity the window's exact GT (vx, vy).
+    """
+    from eincm_tpu.data.staging import stage_datasample
+    from eincm_tpu.data.synthetic import SyntheticDataLoader
+    from eincm_tpu.experiments.config import EdgeConfig
+
+    phi0 = np.arctan2(-3.0, 4.0)  # round-2 workload direction
+    edge_fn = EdgeConfig(
+        enable_image_preprocessing=False, smoothen_method="eincm_iedt"
+    ).make_edge_fn()
+    staged, vels = [], []
+    for k in range(n_windows):
+        phi = phi0 + np.deg2rad(rotate_deg) * k
+        vel = (_SPEED * np.cos(phi), _SPEED * np.sin(phi))
+        dl = SyntheticDataLoader(
+            sensor_size=(MVSEC_H, MVSEC_W),
+            n_windows=1,
+            des_n_events=MVSEC_N_EVENTS,
+            velocity=vel,
+            n_features=180,
+            seed=1 + k,
+        )
+        dl.get_ready()
+        staged.append(
+            stage_datasample(
+                dl[0],
+                edge_fn=edge_fn,
+                preprocess=False,
+                pad_to=MVSEC_N_EVENTS,
+                sort_by_row=True,
+            ).window
+        )
+        vels.append(vel)
+    return staged, vels
+
+
 def build_mvsec_solve_bench(
     interp_impl: str | None = None,
     rotate_deg: float = 15.0,
@@ -50,12 +91,6 @@ def build_mvsec_solve_bench(
     ``interp_impl`` (xla | pallas) is applied BEFORE the solver traces, so
     the compiled executable is pinned to it; None keeps the current default.
     """
-    import jax  # noqa: F401  (imported for side-effectful backend init order)
-    import jax.numpy as jnp
-
-    from eincm_tpu.data.staging import stage_datasample
-    from eincm_tpu.data.synthetic import SyntheticDataLoader
-    from eincm_tpu.experiments.config import EdgeConfig
     from eincm_tpu.models.loss import LossParams
     from eincm_tpu.models.pyramid import (
         HandoverSettings,
@@ -69,31 +104,7 @@ def build_mvsec_solve_bench(
     if interp_impl is not None:
         set_interp_impl(interp_impl)
 
-    phi0 = np.arctan2(-3.0, 4.0)  # round-2 workload direction
-    edge_fn = EdgeConfig(
-        enable_image_preprocessing=False, smoothen_method="eincm_iedt"
-    ).make_edge_fn()
-    staged = []
-    for k in range(n_windows):
-        phi = phi0 + np.deg2rad(rotate_deg) * k
-        dl = SyntheticDataLoader(
-            sensor_size=(MVSEC_H, MVSEC_W),
-            n_windows=1,
-            des_n_events=MVSEC_N_EVENTS,
-            velocity=(_SPEED * np.cos(phi), _SPEED * np.sin(phi)),
-            n_features=180,
-            seed=1 + k,
-        )
-        dl.get_ready()
-        staged.append(
-            stage_datasample(
-                dl[0],
-                edge_fn=edge_fn,
-                preprocess=False,
-                pad_to=MVSEC_N_EVENTS,
-                sort_by_row=True,
-            ).window
-        )
+    staged, _ = stage_mvsec_windows(n_windows, rotate_deg)
 
     cfg = SolverConfig(
         n_pyr_lvls=5,

@@ -88,6 +88,55 @@ def test_jittable_and_gradable_through():
     np.testing.assert_allclose(np.asarray(out), 2.0, atol=1e-4)
 
 
+def test_warm_start_h0_exact_hessian_one_step():
+    """With H0 = A^-1 (the exact inverse Hessian) and a unit first trial
+    step a quadratic solves in one iteration; identity needs several."""
+    rng = np.random.default_rng(3)
+    d = 16
+    m = rng.normal(size=(d, d))
+    A = jnp.asarray(m @ m.T + d * np.eye(d), jnp.float32)
+    b = jnp.asarray(rng.normal(size=d), jnp.float32)
+
+    def f(x):
+        return 0.5 * x @ A @ x - b @ x
+
+    x0 = jnp.zeros(d)
+    res_i = minimize_bfgs(_fg(f), x0, maxiter=100, gtol=1e-3)
+    res_w, h_fin = minimize_bfgs(
+        _fg(f), x0, maxiter=100, gtol=1e-3,
+        h0=jnp.linalg.inv(A), return_h_inv=True, unit_initial_step=True,
+    )
+    assert bool(res_w.success)
+    assert int(res_w.total_iters) <= 2 < int(res_i.total_iters)
+    x_expected = np.linalg.solve(np.asarray(A), np.asarray(b))
+    np.testing.assert_allclose(np.asarray(res_w.x), x_expected, atol=1e-3)
+    assert h_fin.shape == (d, d)
+
+
+def test_warm_start_h0_nonfinite_falls_back():
+    """A poisoned warm start (NaN entries) must behave like identity."""
+    def f(x):
+        return ((x - 2.0) ** 2).sum()
+
+    bad = jnp.full((3, 3), jnp.nan)
+    res = minimize_bfgs(_fg(f), jnp.zeros(3), maxiter=50, h0=bad)
+    assert bool(res.success)
+    np.testing.assert_allclose(np.asarray(res.x), 2.0, atol=1e-4)
+
+
+def test_warm_start_return_combinations():
+    """return_h_inv composes with record_history (result, hist, h_inv)."""
+    def f(x):
+        return ((x - 1.0) ** 2).sum()
+
+    res, hist, h = minimize_bfgs(
+        _fg(f), jnp.zeros(2), maxiter=10, record_history=True,
+        return_h_inv=True,
+    )
+    assert hist.xs.shape[0] == 10 and h.shape == (2, 2)
+    assert bool(res.success)
+
+
 def test_nonconvex_decreases():
     def f(x):
         return jnp.sin(3 * x[0]) * jnp.cos(2 * x[1]) + 0.1 * (x**2).sum()
