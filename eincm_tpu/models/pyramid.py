@@ -362,6 +362,23 @@ def solve_window(
         if is_first_sample or not ho.use_handover:
             weights[lvl] = jnp.asarray(ho.init_handover_weight, opt[lvl].dtype)
             final[lvl] = opt[lvl]
+            if (
+                cfg.collect_intermediate
+                and ho.use_handover
+                and lvl in ho.solve_handover_for_levels
+            ):
+                # first-sample results must be pytree-structurally identical
+                # to non-first ones: the parallel schedules tree_map-splice
+                # the two (parallel/batch.py), and a None here against a
+                # recorded history there is a structure-mismatch crash.
+                # Empty (n=0) history, same shapes/dtypes as the solve's.
+                maxiter = cfg.handover_opt_maxiters[max(lvl - 1, 0)]
+                cap = max(2, ho.handover_grid_probes) + 2 + maxiter
+                ho_histories[lvl] = BFGSHistory(
+                    xs=jnp.zeros((cap,), jnp.float32),
+                    fs=jnp.zeros((cap,), opt[lvl].dtype),
+                    n=jnp.int32(0),
+                )
         else:
             if lvl in ho.solve_handover_for_levels:
                 if lvl > 0:

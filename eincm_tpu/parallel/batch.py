@@ -39,8 +39,36 @@ def make_window_mesh(n_devices: Optional[int] = None) -> Mesh:
     """1-D device mesh over the window (data-parallel) axis."""
     devs = jax.devices()
     if n_devices is not None:
+        if n_devices > len(devs):
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devs)} JAX devices are available"
+            )
         devs = devs[:n_devices]
     return Mesh(np.array(devs), axis_names=("windows",))
+
+
+# The sharded solvers close a multi-minute-to-compile solver program over
+# (cfg, mesh); rebuilding jax.jit(jax.shard_map(...)) per call would discard
+# jit's tracing/compilation cache between super-steps of a checkpointed
+# parallel run (manager.run_solver_parallel calls these once per super-step
+# with identical shapes). Cache the wrappers keyed on the identities of the
+# objects the closure captures; values pin those objects so an id can't be
+# recycled while its entry lives.
+_SHARD_FN_CACHE: dict = {}
+_SHARD_FN_CACHE_MAX = 8
+
+
+def _cached_jit(key_kind, pinned, build):
+    key = (key_kind,) + tuple(id(o) for o in pinned)
+    hit = _SHARD_FN_CACHE.get(key)
+    if hit is not None:
+        return hit[1]
+    fn = build()
+    if len(_SHARD_FN_CACHE) >= _SHARD_FN_CACHE_MAX:
+        _SHARD_FN_CACHE.pop(next(iter(_SHARD_FN_CACHE)))
+    _SHARD_FN_CACHE[key] = (pinned, fn)
+    return fn
 
 
 def solve_window_batch(
@@ -98,24 +126,29 @@ def solve_window_batch_sharded(
         lambda x: jax.device_put(x, shard), prior_pyrs
     )
 
-    solve = partial(solve_window, cfg, is_first_sample=is_first)
+    def build():
+        solve = partial(solve_window, cfg, is_first_sample=is_first)
 
-    def per_device(local_batch, local_priors):
-        # local leading axis = b // n_dev windows, solved sequentially
-        return jax.lax.map(lambda args: solve(*args), (local_batch, local_priors))
+        def per_device(local_batch, local_priors):
+            # local leading axis = b // n_dev windows, solved sequentially
+            return jax.lax.map(
+                lambda args: solve(*args), (local_batch, local_priors)
+            )
 
-    specs = P("windows")
-    fn = jax.jit(
-        jax.shard_map(
-            per_device,
-            mesh=mesh,
-            in_specs=(specs, specs),
-            out_specs=specs,
-            # unvarying scan carries (zero-initialized frames) mix with
-            # varying event data inside the solver; skip the vma check
-            check_vma=False,
+        specs = P("windows")
+        return jax.jit(
+            jax.shard_map(
+                per_device,
+                mesh=mesh,
+                in_specs=(specs, specs),
+                out_specs=specs,
+                # unvarying scan carries (zero-initialized frames) mix with
+                # varying event data inside the solver; skip the vma check
+                check_vma=False,
+            )
         )
-    )
+
+    fn = _cached_jit(("batch_sharded", is_first), (cfg, mesh), build)
     return fn(batch, prior_pyrs)
 
 
@@ -165,77 +198,86 @@ def sequence_shard_solve(
 
     shard = NamedSharding(mesh, P("windows"))
     batch = jax.tree_util.tree_map(lambda x: jax.device_put(x, shard), batch)
-    zero_prior = cfg.zero_pyramid(batch.xs.dtype)
-
-    solve_first = partial(solve_window, cfg, is_first_sample=True)
-    solve_rest = partial(solve_window, cfg, is_first_sample=False)
-
-    def chunk_chain(local_batch, boundary_prior, first_is_global_first: bool):
-        """Solve this device's chunk sequentially with the handover chain."""
-        head = jax.tree_util.tree_map(lambda x: x[0], local_batch)
-        if first_is_global_first:
-            res0 = solve_first(head, zero_prior)
-        else:
-            res0 = solve_rest(head, boundary_prior)
-
-        def step(prior, sample):
-            res = solve_rest(sample, prior)
-            return res.final_theta_pyr, res
-
-        tail = jax.tree_util.tree_map(lambda x: x[1:], local_batch)
-        last_prior, res_tail = jax.lax.scan(
-            step, res0.final_theta_pyr, tail
-        )
-        res = jax.tree_util.tree_map(
-            lambda a, b_: jnp.concatenate([a[None], b_], axis=0),
-            res0,
-            res_tail,
-        )
-        return res, last_prior
-
-    perm = [(i, i + 1) for i in range(n_dev - 1)]
     has_boundary = boundary_prior is not None
 
-    def per_device(local_batch, bp0):
-        # pass 1: chunk-first windows run first-sample semantics
-        res1, chunk_final = chunk_chain(
-            local_batch, zero_prior, first_is_global_first=True
-        )
-        # boundary exchange: chunk i's final -> device i+1 (device 0
-        # receives zeros; with a carried super-step boundary prior, device 0
-        # uses that instead and takes pass 2 like everyone else)
-        boundary = jax.tree_util.tree_map(
-            lambda x: jax.lax.ppermute(x, axis_name="windows", perm=perm),
-            chunk_final,
-        )
-        if has_boundary:
-            is_dev0 = jax.lax.axis_index("windows") == 0
-            boundary = jax.tree_util.tree_map(
-                lambda recv, carry: jnp.where(is_dev0, carry, recv),
-                boundary,
-                bp0,
-            )
-        # pass 2: re-run the chunk chain seeded by the received prior
-        res2, _ = chunk_chain(
-            local_batch, boundary, first_is_global_first=False
-        )
-        return res1, res2
+    def build():
+        solve_first = partial(solve_window, cfg, is_first_sample=True)
+        solve_rest = partial(solve_window, cfg, is_first_sample=False)
 
-    specs = P("windows")
+        def chunk_chain(local_batch, bp, first_is_global_first: bool):
+            """Solve this device's chunk sequentially with the handover
+            chain."""
+            head = jax.tree_util.tree_map(lambda x: x[0], local_batch)
+            if first_is_global_first:
+                res0 = solve_first(head, cfg.zero_pyramid(local_batch.xs.dtype))
+            else:
+                res0 = solve_rest(head, bp)
+
+            def step(prior, sample):
+                res = solve_rest(sample, prior)
+                return res.final_theta_pyr, res
+
+            tail = jax.tree_util.tree_map(lambda x: x[1:], local_batch)
+            last_prior, res_tail = jax.lax.scan(
+                step, res0.final_theta_pyr, tail
+            )
+            res = jax.tree_util.tree_map(
+                lambda a, b_: jnp.concatenate([a[None], b_], axis=0),
+                res0,
+                res_tail,
+            )
+            return res, last_prior
+
+        perm = [(i, i + 1) for i in range(n_dev - 1)]
+
+        def per_device(local_batch, bp0):
+            zero_prior = cfg.zero_pyramid(local_batch.xs.dtype)
+            # pass 1: chunk-first windows run first-sample semantics
+            res1, chunk_final = chunk_chain(
+                local_batch, zero_prior, first_is_global_first=True
+            )
+            if n_dev == 1 and not has_boundary:
+                # single device, no carried prior: pass 1 IS the exact
+                # sequential chain — pass 2 would be discarded wholesale
+                return res1, res1
+            # boundary exchange: chunk i's final -> device i+1 (device 0
+            # receives zeros; with a carried super-step boundary prior,
+            # device 0 uses that instead and takes pass 2 like everyone
+            # else)
+            boundary = jax.tree_util.tree_map(
+                lambda x: jax.lax.ppermute(x, axis_name="windows", perm=perm),
+                chunk_final,
+            )
+            if has_boundary:
+                is_dev0 = jax.lax.axis_index("windows") == 0
+                boundary = jax.tree_util.tree_map(
+                    lambda recv, carry: jnp.where(is_dev0, carry, recv),
+                    boundary,
+                    bp0,
+                )
+            # pass 2: re-run the chunk chain seeded by the received prior
+            res2, _ = chunk_chain(
+                local_batch, boundary, first_is_global_first=False
+            )
+            return res1, res2
+
+        specs = P("windows")
+        return jax.jit(
+            jax.shard_map(
+                per_device,
+                mesh=mesh,
+                in_specs=(specs, P()),
+                out_specs=(specs, specs),
+                check_vma=False,
+            )
+        )
+
     bp_arg = (
         boundary_prior
         if has_boundary
-        else tuple(jnp.zeros_like(z) for z in zero_prior)
+        else cfg.zero_pyramid(batch.xs.dtype)
     )
-    fn = jax.jit(
-        jax.shard_map(
-            per_device,
-            mesh=mesh,
-            in_specs=(specs, P()),
-            out_specs=(specs, specs),
-            check_vma=False,
-        )
-    )
+    fn = _cached_jit(("seq_shard", has_boundary), (cfg, mesh), build)
     res1, res2 = fn(batch, bp_arg)
 
     if has_boundary:

@@ -14,7 +14,6 @@ suite) never touch the coordinator machinery.
 
 from __future__ import annotations
 
-import os
 from dataclasses import dataclass
 from typing import Optional
 
@@ -55,7 +54,7 @@ def initialize_distributed(cfg: DistributedConfig) -> bool:
     if not cfg.enable:
         return False
     if _INITIALIZED:
-        return True
+        return is_multi_process()
     kwargs = {}
     if cfg.coordinator_address is not None:
         kwargs["coordinator_address"] = cfg.coordinator_address
@@ -67,7 +66,11 @@ def initialize_distributed(cfg: DistributedConfig) -> bool:
         kwargs["local_device_ids"] = list(cfg.local_device_ids)
     jax.distributed.initialize(**kwargs)
     _INITIALIZED = True
-    return True
+    # the contract is "True iff part of a multi-process cluster" — an
+    # enabled-but-single-process init (num_processes=1, or auto-detect
+    # resolving to one process) must not steer callers onto a
+    # multi-process branch
+    return is_multi_process()
 
 
 def is_multi_process() -> bool:

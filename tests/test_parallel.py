@@ -137,6 +137,60 @@ def test_sequence_shard_prior_exchange(rng):
     assert res.final_handover_weights[0].shape[0] == b
 
 
+def test_sequence_schedules_with_collect_intermediate(rng):
+    """Regression (round-3 review): with collect_intermediate=True and a
+    solved handover level, first-sample SolveResults used to carry
+    handover_histories=(None, ...) while non-first ones carried arrays, and
+    the tree_map splices in both parallel schedules crashed on the
+    structure mismatch. Both schedules must run and record histories."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        tiny_cfg(),
+        collect_intermediate=True,
+        handover=HandoverSettings(
+            use_handover=True, solve_handover_for_levels=(0,)
+        ),
+    )
+    batch = tiny_batch(rng, 8)
+    mesh = make_window_mesh(4)
+
+    res_tp, final_tp = two_pass_sequence_solve(cfg, batch, mesh)
+    assert np.all(np.isfinite(np.asarray(final_tp[0])))
+    # every window's level-0 handover history has identical structure;
+    # window 0 (first-sample, pass-1 kept) records an empty one
+    h0 = res_tp.handover_histories[0]
+    assert h0.xs.shape[0] == 8
+    assert int(np.asarray(h0.n)[0]) == 0  # window 0: first-sample, empty
+    assert int(np.asarray(h0.n)[1]) > 0  # later windows: real probes
+
+    res_ss, final_ss = sequence_shard_solve(cfg, batch, mesh)
+    assert np.all(np.isfinite(np.asarray(final_ss[0])))
+    h0 = res_ss.handover_histories[0]
+    assert int(np.asarray(h0.n)[0]) == 0
+    assert int(np.asarray(h0.n)[1]) > 0
+
+
+def test_sequence_shard_single_device_matches_sequential(rng):
+    """n_dev == 1 without a boundary prior takes the pass-1-only fast path,
+    which IS the exact sequential chain."""
+    cfg = tiny_cfg()
+    b = 4
+    batch = tiny_batch(rng, b)
+    mesh = make_window_mesh(1)
+    res, final = sequence_shard_solve(cfg, batch, mesh)
+    seq = _sequential_chain(cfg, batch, b)
+    seq0 = np.stack([np.asarray(s.final_theta_pyr[0]) for s in seq])
+    np.testing.assert_allclose(
+        np.asarray(final[0]), seq0, rtol=1e-2, atol=5e-3
+    )
+
+
+def test_make_window_mesh_rejects_oversized():
+    with pytest.raises(ValueError, match="8 JAX devices"):
+        make_window_mesh(16)
+
+
 def test_distributed_config_plumbing():
     from eincm_tpu.experiments.config import ExperimentConfig
     from eincm_tpu.parallel.distributed import (
