@@ -20,7 +20,7 @@ import yaml
 from scipy.spatial.transform import Rotation as Rot
 
 from eincm_tpu.data.geometry import Transform, remap_bicubic, undistort_points_iter
-from eincm_tpu.data.readers import HDF5FileReader
+from eincm_tpu.data.readers import HDF5FileReader, imread_gray
 from eincm_tpu.data.windowing import adjust_event_window
 
 DSEC_HEIGHT = 480
@@ -267,16 +267,8 @@ class DSECDataLoader:
 
     # -------------------------------------------------------------- sampling
 
-    @staticmethod
-    def _imread_gray(path: str) -> np.ndarray:
-        import imageio.v2 as imageio
-
-        img = np.asarray(imageio.imread(path))
-        if img.ndim == 3:
-            img = (
-                0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
-            ).astype(np.uint8)
-        return img
+    # shared uint8-grayscale loader (BT.601) — also used by the ECD loader
+    _imread_gray = staticmethod(imread_gray)
 
     def get_sample(self, eval_idx: int) -> Dict:
         i0 = self.eval_image_start_idxs[eval_idx]

@@ -12,6 +12,7 @@ from typing import Dict
 
 import numpy as np
 
+from eincm_tpu.data.readers import imread_gray
 from eincm_tpu.data.windowing import adjust_event_window
 
 ECD_HEIGHT = 176
@@ -86,17 +87,8 @@ class ECDDataLoader:
             self.image_ts, self.eval_ts[1, :], side="left"
         )
 
-    @staticmethod
-    def _imread_gray(path: str) -> np.ndarray:
-        import imageio.v2 as imageio
-
-        img = imageio.imread(path)
-        if img.ndim == 3:
-            # luminance conversion (BT.601), matches cv.IMREAD_GRAYSCALE
-            img = (
-                0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
-            ).astype(np.uint8)
-        return img
+    # shared uint8-grayscale loader (BT.601, matches cv.IMREAD_GRAYSCALE)
+    _imread_gray = staticmethod(imread_gray)
 
     def get_sample(self, eval_idx: int) -> Dict:
         i0 = self.eval_image_start_idxs[eval_idx]

@@ -101,8 +101,11 @@ def undistort_points_iter(
         dy = p1 * (r2 + 2 * y * y) + 2 * p2 * x * y
         x_new = (x0 - dx) / radial
         y_new = (y0 - dy) / radial
-        # cv's criteria uses reprojection error; a coordinate-delta check at
-        # the same eps is a conservative stand-in.
+        # cv's criteria eps (default 1e-3) applies to PIXEL-scale error;
+        # this delta is in normalized camera coordinates, which the focal
+        # length (~10^3 px for DSEC) scales up — eps * 1e-3 in normalized
+        # units therefore approximates eps in pixels (slightly conservative
+        # for shorter focal lengths; the iteration cap bounds the cost).
         if max(np.abs(x_new - x).max(initial=0), np.abs(y_new - y).max(initial=0)) < eps * 1e-3:
             x, y = x_new, y_new
             break
@@ -154,7 +157,7 @@ def remap_bicubic(img: np.ndarray, map_xy: np.ndarray) -> np.ndarray:
             wgt = wy * wx
             vals = np.zeros_like(out)
             vals[inside] = imgf[yi[inside], xi[inside]]
-            out += wgt * np.where(inside, vals, 0.0)
+            out += wgt * vals  # vals is already 0 at out-of-bounds taps
 
     # cv.remap BORDER_CONSTANT semantics: out-of-bounds taps contribute the
     # border value (0) at FULL weight — no renormalization at the borders

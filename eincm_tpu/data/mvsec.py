@@ -173,7 +173,7 @@ class MVSECDataLoader:
         for k in ("x", "y", "t", "p"):
             self.l_events[k] = self.l_events[k][ev_slice]
 
-        if self.sequence_name == "outdoor_day1":
+        if self.sequence_name.lower() == "outdoor_day1":
             # hood-of-car filter (mvsec_loader.py:226-230)
             no_car = self.l_events["y"] < 190
             for k in ("x", "y", "t", "p"):
@@ -192,6 +192,10 @@ class MVSECDataLoader:
 
     def get_sample_between_two_image_timestamps(self, idx_img: int) -> Dict:
         assert self._LEFT_DATA_LOADED and self._FLOW_GT_LOADED
+        # un-pruned timestamps can precede gt_flow_ts[0]; estimate_gt_flow's
+        # searchsorted would wrap to the LAST GT frame and return sign-flipped
+        # garbage (gt_dt < 0) with no error
+        assert self._PRUNED, "call prune_data() before sampling"
 
         t_start = self.l_image_raw_ts[idx_img]
         t_end = self.l_image_raw_ts[idx_img + self.delta_idx]
@@ -238,6 +242,11 @@ class MVSECDataLoader:
         """EV-FlowNet-style temporal propagation of GT flow
         (mvsec_loader.py:322-408)."""
         idx_gt = np.searchsorted(self.gt_flow_ts, t_start, side="right") - 1
+        if idx_gt < 0:
+            raise ValueError(
+                f"t_start {t_start} precedes the first GT flow frame "
+                f"{self.gt_flow_ts[0]} — sequence not pruned?"
+            )
         gt_dt = self.gt_flow_ts[idx_gt + 1] - self.gt_flow_ts[idx_gt]
         x_flow = np.squeeze(self.gt_x_flow_dist[idx_gt])
         y_flow = np.squeeze(self.gt_y_flow_dist[idx_gt])

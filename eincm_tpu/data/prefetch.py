@@ -40,17 +40,18 @@ class StagingPrefetcher:
         if not self.indices:
             return
         with ThreadPoolExecutor(max_workers=self.depth) as pool:
+            # keyed by POSITION, not index value: `indices` is an arbitrary
+            # sequence and may repeat an index (a value-keyed dict would
+            # overwrite the pending future and crash on the second pop)
             futures = {}
             ahead = min(self.depth, len(self.indices))
             for j in range(ahead):
-                idx = self.indices[j]
-                futures[idx] = pool.submit(self._stage, idx)
+                futures[j] = pool.submit(self._stage, self.indices[j])
             for pos, idx in enumerate(self.indices):
                 nxt = pos + ahead
                 if nxt < len(self.indices):
-                    nidx = self.indices[nxt]
-                    futures[nidx] = pool.submit(self._stage, nidx)
-                yield idx, futures.pop(idx).result()
+                    futures[nxt] = pool.submit(self._stage, self.indices[nxt])
+                yield idx, futures.pop(pos).result()
 
     def _stage(self, idx: int):
         return self.stage_fn(self.dataloader[idx])

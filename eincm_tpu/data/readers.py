@@ -113,3 +113,16 @@ class MVSECReader:
 
     def __exit__(self, *exc):
         self.close_file()
+
+
+def imread_gray(path) -> np.ndarray:
+    """Load an image as uint8 grayscale (BT.601 luminance for RGB inputs,
+    matching cv.IMREAD_GRAYSCALE). Shared by the DSEC and ECD loaders."""
+    import imageio.v2 as imageio
+
+    img = np.asarray(imageio.imread(path))
+    if img.ndim == 3:
+        img = (
+            0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
+        ).astype(np.uint8)
+    return img

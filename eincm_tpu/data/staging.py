@@ -187,8 +187,9 @@ def stage_datasample(
         ps = np.concatenate([ps, np.zeros(pad, bool)])
 
     if sort_by_tile:
-        h = np.asarray(datasample["images"]).shape[-2]
-        xs, ys, ts_n, ps = tile_sort_events(xs, ys, ts_n, ps, h)
+        xs, ys, ts_n, ps = tile_sort_events(
+            xs, ys, ts_n, ps, images.shape[-2]
+        )
 
     window = WindowSample(
         xs=xs.astype(dtype),

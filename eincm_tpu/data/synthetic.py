@@ -57,6 +57,14 @@ class SyntheticDataLoader:
         hi = (
             np.array([w, h]) - margin - np.maximum(0.0, self.velocity * span)
         )
+        if not np.all(hi > lo):
+            # rng.uniform(lo, hi) with hi < lo silently samples the inverted
+            # interval -> off-sensor events under a clean reported GT field
+            raise ValueError(
+                f"velocity {tuple(self.velocity)} x span {span} exceeds the "
+                f"{self.sensor_size} sensor; features cannot stay in-sensor "
+                "(reduce n_windows/window_dt/|velocity| or grow the sensor)"
+            )
         self._features = rng.uniform(lo, hi, size=(self.n_features, 2))
 
         n_total = self.des_n_events * self.n_windows

@@ -202,6 +202,20 @@ class TestPrefetcher:
         pf = StagingPrefetcher(None, [], lambda s: s)
         assert list(pf) == []
 
+    def test_duplicate_indices(self):
+        """Regression (round-3 review): futures were keyed by index VALUE,
+        so a repeated index overwrote the pending future and the second
+        occurrence crashed on pop. n_repeat-style callers may pass dups."""
+        from eincm_tpu.data.prefetch import StagingPrefetcher
+
+        class FakeLoader:
+            def __getitem__(self, i):
+                return i
+
+        for idxs in ([3, 3], [1, 2, 1], [0, 0, 0, 0]):
+            pf = StagingPrefetcher(FakeLoader(), idxs, lambda i: i * 10, depth=2)
+            assert list(pf) == [(i, i * 10) for i in idxs]
+
     def test_exception_propagates(self):
         from eincm_tpu.data.prefetch import StagingPrefetcher
 
