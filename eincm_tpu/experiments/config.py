@@ -141,6 +141,9 @@ class SolverSettings:
     # 'armijo' (default; 1.6x faster, accuracy-validated vs wolfe — PARITY.md)
     # | 'wolfe' (strong Wolfe, scipy-parity semantics)
     line_search: str = "armijo"
+    # quadratic-interpolated backtracking for 'armijo' (scipy
+    # scalar_search_armijo); off pending on-hardware A/B validation
+    armijo_interpolate: bool = False
     # tail safeguard for the armijo default (serial solve path): when a
     # window's level-0 optimum ends worse than simply keeping the prior
     # window's theta (or the solve hit NaN), re-solve that window with
@@ -274,6 +277,7 @@ class ExperimentConfig:
             handover=self.handover,
             max_ls_evals=s.max_ls_evals,
             line_search=s.line_search,
+            armijo_interpolate=s.armijo_interpolate,
             collect_intermediate=s.collect_intermediate
             or self.phases.eval_intermediate,
             progress_heartbeat=s.progress_heartbeat,

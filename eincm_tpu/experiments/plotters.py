@@ -292,6 +292,26 @@ class EINCMExperimentPlotter:
         plt.close(fig)
         return path
 
+    def _level_shape(self, n_px: int):
+        """(h, w) of a flattened pyramid-level theta with h*w == n_px.
+
+        Pyramid levels keep the sensor's aspect ratio, so among the divisor
+        pairs of n_px pick the one closest (in log-aspect) to the configured
+        sensor; non-square sensors (DSEC 480x640) would break a sqrt() guess.
+        """
+        sh, sw = self.cfg.dataset.sensor_size
+        target = np.log(sh / sw)
+        best = (n_px, 1)
+        for h in range(1, int(np.sqrt(n_px)) + 1):
+            if n_px % h:
+                continue
+            for hh, ww in ((h, n_px // h), (n_px // h, h)):
+                if abs(np.log(hh / ww) - target) < abs(
+                    np.log(best[0] / best[1]) - target
+                ):
+                    best = (hh, ww)
+        return best
+
     def plot_step_results(
         self, idx: int, staged: StagedSample, thetas, losses
     ) -> Path:
@@ -314,10 +334,10 @@ class EINCMExperimentPlotter:
         ax0.set_ylabel("loss")
         ax0.grid(alpha=0.3)
 
-        h = int(np.sqrt(thetas.shape[1] // 2)) if thetas.size else 0
+        h, w = self._level_shape(thetas.shape[1] // 2) if thetas.size else (0, 0)
         for i, p in enumerate(picks):
             ax = fig.add_subplot(1, len(picks) + 1, i + 2)
-            theta = thetas[p].reshape(h, h, 2)
+            theta = thetas[p].reshape(h, w, 2)
             ax.imshow(flow_uv_to_img(theta))
             ax.set_title(f"iter {p}", fontsize=9)
             ax.axis("off")

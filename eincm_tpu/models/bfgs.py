@@ -234,12 +234,20 @@ def _armijo_backtrack(
     alpha1,
     c1: float,
     max_evals: int,
+    interpolate: bool = False,
 ):
     """Backtracking line search with value-only probes.
 
-    Halves alpha until the Armijo condition f(x+ap) <= f0 + c1*a*dphi0 holds
+    Shrinks alpha until the Armijo condition f(x+ap) <= f0 + c1*a*dphi0 holds
     (or the probe budget runs out), then evaluates the gradient once at the
     accepted point. Returns the same tuple shape as `_strong_wolfe`.
+
+    With `interpolate` the next trial is the minimizer of the quadratic
+    through (0, f0) with slope dphi0 and (alpha, f_trial) — scipy's
+    `scalar_search_armijo` strategy — safeguarded into [0.1, 0.5]*alpha.
+    A badly overshot first step shrinks up to 10x per probe instead of 2x,
+    and a barely-failing one lands near the Armijo boundary, so acceptance
+    typically needs fewer value-only probes than plain halving.
     """
     dtype = f0.dtype
 
@@ -251,7 +259,17 @@ def _armijo_backtrack(
         alpha, _, n, _ = carry
         f_trial = fun(x + alpha * p)
         ok = f_trial <= f0 + c1 * alpha * dphi0
-        alpha_next = jnp.where(ok, alpha, alpha * 0.5)
+        if interpolate:
+            denom = 2.0 * (f_trial - f0 - dphi0 * alpha)
+            a_q = -dphi0 * alpha * alpha / jnp.where(denom == 0, 1.0, denom)
+            shrunk = jnp.where(
+                (denom == 0) | ~jnp.isfinite(a_q),
+                0.5 * alpha,
+                jnp.clip(a_q, 0.1 * alpha, 0.5 * alpha),
+            )
+        else:
+            shrunk = alpha * 0.5
+        alpha_next = jnp.where(ok, alpha, shrunk)
         return alpha_next, f_trial, n + 1, ok
 
     alpha, f_trial, n, ok = jax.lax.while_loop(
@@ -295,6 +313,7 @@ def minimize_bfgs(
     record_history: bool = False,
     unit_initial_step: bool = False,
     line_search: str = "wolfe",
+    armijo_interpolate: bool = False,
     fun: "Callable[[jax.Array], jax.Array] | None" = None,
     heartbeat_fn: "Callable | None" = None,
     h0: "jax.Array | None" = None,
@@ -314,6 +333,9 @@ def minimize_bfgs(
             (backtracking with value-only probes — a probe costs a forward
             pass instead of forward+backward; the gradient is evaluated once
             at the accepted point; BFGS updates are curvature-skipped).
+        armijo_interpolate: 'armijo' only — quadratic-interpolated
+            backtracking (scipy `scalar_search_armijo`) instead of plain
+            halving; usually fewer value-only probes per accepted step.
         fun: value-only objective, required for 'armijo'.
         heartbeat_fn: optional host callback (iter: int32, f: scalar) fired
             once per iteration via `jax.debug.callback` — the on-device
@@ -377,7 +399,7 @@ def minimize_bfgs(
         if line_search == "armijo":
             alpha, f_new, g_new, ls_evals, ls_ok = _armijo_backtrack(
                 fun, fun_and_grad, s.x, p, s.f, dphi0, s.g, alpha1, c1,
-                max_ls_evals,
+                max_ls_evals, interpolate=armijo_interpolate,
             )
         else:
             alpha, f_new, g_new, ls_evals, ls_ok = _strong_wolfe(

@@ -102,6 +102,11 @@ class SolverConfig:
     # ±0.07 px mean over 3 tunings x 10 synthetic windows (see PARITY.md).
     # 'wolfe' = strong Wolfe (scipy-parity semantics).
     line_search: str = "armijo"
+    # 'armijo' only: quadratic-interpolated backtracking (scipy
+    # scalar_search_armijo) instead of plain halving — usually fewer
+    # value-only probes per accepted step. Off by default pending a paired
+    # on-hardware A/B against the validated halving default.
+    armijo_interpolate: bool = False
     # record per-iteration (theta, loss) trajectories per level — the
     # on-device equivalent of the reference's collecting solver callbacks
     # (src/eincm/callbacks.py:100-221)
@@ -236,6 +241,7 @@ def _solve_theta_level(
         n_extra_attempts=cfg.n_extra_attempts.get(lvl, 0),
         record_history=cfg.collect_intermediate,
         line_search=cfg.line_search,
+        armijo_interpolate=cfg.armijo_interpolate,
         fun=fun_only,
         heartbeat_fn=heartbeat,
     )

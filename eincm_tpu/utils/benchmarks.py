@@ -79,6 +79,7 @@ def build_mvsec_solve_bench(
     interp_impl: str | None = None,
     rotate_deg: float = 15.0,
     n_windows: int = 6,
+    solver_overrides: dict | None = None,
 ):
     """Build the chained-window solve benchmark.
 
@@ -90,6 +91,8 @@ def build_mvsec_solve_bench(
 
     ``interp_impl`` (xla | pallas) is applied BEFORE the solver traces, so
     the compiled executable is pinned to it; None keeps the current default.
+    ``solver_overrides`` are extra SolverConfig fields for paired A/Bs of
+    solver knobs (e.g. ``{"armijo_interpolate": True}``).
     """
     from eincm_tpu.models.loss import LossParams
     from eincm_tpu.models.pyramid import (
@@ -116,6 +119,7 @@ def build_mvsec_solve_bench(
         handover=HandoverSettings(
             use_handover=True, solve_handover_for_levels=(0,)
         ),
+        **(solver_overrides or {}),
     )
     solver = make_window_solver(cfg)
 

@@ -325,6 +325,24 @@ def test_armijo_line_search():
     assert float(res.fun_val) < 1e-5
 
 
+def test_armijo_interpolated():
+    """Quadratic-interpolated backtracking: same minimizer, <= probe count."""
+    def f(x):
+        return (1 - x[0]) ** 2 + 100.0 * (x[1] - x[0] ** 2) ** 2
+
+    res = {}
+    for interp in (False, True):
+        res[interp] = minimize_bfgs(
+            _fg(f), jnp.array([-1.2, 1.0]), maxiter=200, gtol=1e-4,
+            line_search="armijo", fun=f, armijo_interpolate=interp,
+        )
+        np.testing.assert_allclose(np.asarray(res[interp].x), [1.0, 1.0], atol=5e-3)
+        assert float(res[interp].fun_val) < 1e-5
+    # on a badly-scaled valley the interpolated probes should not need more
+    # evaluations than plain halving to reach the same optimum
+    assert int(res[True].n_fun_evals) <= int(res[False].n_fun_evals) * 1.1
+
+
 def test_armijo_requires_fun():
     with pytest.raises(AssertionError):
         minimize_bfgs(

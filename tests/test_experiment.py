@@ -255,6 +255,16 @@ class TestPlotterExtras:
         sp = p.plot_step_results(1, None, thetas, losses)
         assert sp.exists()
 
+        # non-square sensors (DSEC 480x640) must reshape by aspect, not sqrt
+        cfg_ns = tiny_cfg(tmp_path)
+        cfg_ns.dataset.sensor_size = (480, 640)
+        p_ns = EINCMExperimentPlotter(cfg_ns, tmp_path / "plots_ns")
+        assert p_ns._level_shape(30 * 40) == (30, 40)
+        assert p_ns._level_shape(480 * 640) == (480, 640)
+        thetas_ns = rng.normal(0, 1, (5, 2 * 30 * 40))
+        sp_ns = p_ns.plot_step_results(1, None, thetas_ns, losses[:5])
+        assert sp_ns.exists()
+
         q = p.plot_grad_quiver(
             2, rng.normal(0, 1, (32, 32, 2)), rng.normal(0, 1, (32, 32, 2))
         )
