@@ -14,6 +14,8 @@ import pytest
 
 h5py = pytest.importorskip("h5py")
 
+pytestmark = pytest.mark.slow  # each CLI run solves+evals+plots a sequence
+
 from eincm_tpu.experiments.__main__ import main  # noqa: E402
 from eincm_tpu.experiments.outputs import EINCMOutputLoader  # noqa: E402
 

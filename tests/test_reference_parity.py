@@ -107,6 +107,7 @@ def solver_parity():
     return json.loads(res.stdout.strip().splitlines()[-1])
 
 
+@pytest.mark.slow
 class TestSolverTrajectoryParity:
     """Tolerances sit above the round-3 measured values (PARITY.md records
     them): two correct BFGS implementations diverge on individual windows
