@@ -29,7 +29,7 @@ from eincm_tpu.experiments.config import ExperimentConfig
 from eincm_tpu.experiments.manager import EINCMExperiment
 
 
-def make_cfg(tag, line_search, rescue, out_root):
+def make_cfg(tag, line_search, rescue, out_root, interp=False):
     cfg = ExperimentConfig()
     cfg.experiment_name = tag
     cfg.output_dir = out_root
@@ -48,6 +48,7 @@ def make_cfg(tag, line_search, rescue, out_root):
     cfg.solver.n_extra_attempts = {0: 1, 1: 1}
     cfg.solver.line_search = line_search
     cfg.solver.armijo_rescue = rescue
+    cfg.solver.armijo_interpolate = interp
     cfg.solver.splat_impl = "pallas_banded"
     from eincm_tpu.models.pyramid import HandoverSettings
 
@@ -61,10 +62,10 @@ def make_cfg(tag, line_search, rescue, out_root):
     return cfg
 
 
-def run(tag, line_search, rescue, out_root):
+def run(tag, line_search, rescue, out_root, interp=False):
     import time
 
-    cfg = make_cfg(tag, line_search, rescue, out_root)
+    cfg = make_cfg(tag, line_search, rescue, out_root, interp)
     exp = EINCMExperiment(cfg)
     t0 = time.perf_counter()
     exp.run_solver()
@@ -80,18 +81,23 @@ def run(tag, line_search, rescue, out_root):
 def main():
     out_root = "/tmp/eincm_rescue_val"
     res = {}
-    for tag, ls, rescue in (
-        ("wolfe", "wolfe", False),
-        ("armijo", "armijo", False),
-        ("armijo_rescue", "armijo", True),
+    for tag, ls, rescue, interp in (
+        ("wolfe", "wolfe", False, False),
+        ("armijo", "armijo", False, False),
+        ("armijo_rescue", "armijo", True, False),
+        # quadratic-interpolated backtracking (AEE-neutrality check for the
+        # prospective default flip — see scripts/armijo_interp_probe.py)
+        ("armijo_interp", "armijo", True, True),
     ):
-        aees, (n_attempts, n_applied), solve_s = run(tag, ls, rescue, out_root)
+        aees, (n_attempts, n_applied), solve_s = run(
+            tag, ls, rescue, out_root, interp
+        )
         res[f"aee_{tag}"] = [round(a, 4) for a in aees]
         res[f"aee_mean_{tag}"] = round(float(np.mean(aees)), 4)
         res[f"n_rescue_attempts_{tag}"] = n_attempts
         res[f"n_rescued_{tag}"] = n_applied
         res[f"solve_s_{tag}"] = round(solve_s, 2)
-    for tag in ("armijo", "armijo_rescue"):
+    for tag in ("armijo", "armijo_rescue", "armijo_interp"):
         d = np.asarray(res[f"aee_{tag}"]) - np.asarray(res["aee_wolfe"])
         res[f"daee_mean_{tag}"] = round(float(d.mean()), 4)
         res[f"daee_worst_{tag}"] = round(float(d.max()), 4)
