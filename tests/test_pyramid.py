@@ -169,6 +169,21 @@ def test_armijo_solver_recovers_flow(rng):
     assert aee < 0.5 * np.linalg.norm(v)
 
 
+def test_armijo_interpolated_solver_recovers_flow(rng):
+    """Opt-in quadratic-interpolated backtracking through the full pyramid
+    solve (knob plumbing SolverConfig -> minimize_bfgs and end accuracy)."""
+    sample, v = make_scene(rng)
+    cfg = base_cfg(line_search="armijo", armijo_interpolate=True)
+    res = solve_window(cfg, sample, cfg.zero_pyramid(), is_first_sample=True)
+    full = np.asarray(
+        scale_theta_to_sensor_size(res.final_theta_pyr[0], cfg.sensor_size)
+    )
+    iy = np.asarray(sample.ys).astype(int)
+    ix = np.asarray(sample.xs).astype(int)
+    aee = np.linalg.norm(full[iy, ix] - v[None, :], axis=-1).mean()
+    assert aee < 0.5 * np.linalg.norm(v)
+
+
 def test_rotational_flow_recovery():
     """Recover a SPATIALLY-VARYING (rotational) flow field — the capability
     the per-pixel theta exists for; constant-velocity recovery alone cannot
