@@ -265,3 +265,85 @@ def test_rotational_flow_recovery():
         th[mask] - th[mask].mean(0, keepdims=True), axis=-1
     ).mean()
     assert const_err > 0.2 * mag.mean()  # genuinely non-uniform solution
+
+
+def test_diverging_flow_recovery():
+    """Recover a DIVERGING (zoom) field — radial expansion about the center,
+    the other canonical spatially-varying pattern (camera approach). Same
+    protocol and bounds as the rotational test; a constant-velocity fit has
+    zero divergence, so passing requires per-pixel structure.
+
+    Expansion rate 0.15 (rim displacement ~3.6 px, mean ~2.5): measured
+    err/|gt| = 0.28 here. Weaker zooms fall under the integer-rounding noise
+    floor of the synthetic events (a=0.08, mean displacement 1.2 px, reads
+    0.53 with the radial coefficient recovered at ~0.6x — an input SNR
+    limit, not a solver regression; larger a also measured recovering the
+    coefficient at ~0.8x of truth, of which ~7% is the t-averaged gt
+    convention used below)."""
+    import numpy as np
+
+    from eincm_tpu.models.loss import LossParams
+    from eincm_tpu.models.pyramid import (
+        HandoverSettings,
+        SolverConfig,
+        WindowSample,
+        solve_window,
+    )
+    from eincm_tpu.ops.filters import gaussian_blur_3x3
+    from eincm_tpu.ops.normalize import normalize_to_unit_range
+    from eincm_tpu.ops.resize import scale_theta_to_sensor_size
+    from eincm_tpu.ops.splat import events_to_pdf_frame
+
+    H = W = 48
+    cx = cy = 24.0
+    a = 0.15  # expansion per unit time; rim displacement ~3.6 px
+    rng = np.random.default_rng(9)
+    n_feat, n_ev = 60, 6144
+    feat = rng.uniform(6, 42, (n_feat, 2))
+
+    ts = rng.uniform(0, 1, n_ev).astype(np.float32)
+    which = rng.integers(0, n_feat, n_ev)
+    f = feat[which]
+    xs = np.round(cx + (1 + a * ts) * (f[:, 0] - cx)).astype(np.float32)
+    ys = np.round(cy + (1 + a * ts) * (f[:, 1] - cy)).astype(np.float32)
+    keep = (xs >= 0) & (xs < W) & (ys >= 0) & (ys < H)
+    xs, ys, ts = xs[keep], ys[keep], ts[keep]
+
+    def edge_map(t):
+        qx = cx + (1 + a * t) * (feat[:, 0] - cx)
+        qy = cy + (1 + a * t) * (feat[:, 1] - cy)
+        m = events_to_pdf_frame(jnp.asarray(qx), jnp.asarray(qy), (H, W))
+        return normalize_to_unit_range(gaussian_blur_3x3(m))
+
+    sample = WindowSample(
+        xs=jnp.asarray(xs),
+        ys=jnp.asarray(ys),
+        ts=jnp.asarray(ts),
+        edges=jnp.stack([edge_map(0.0), edge_map(1.0)]),
+        edge_ts=jnp.asarray([0.0, 1.0], jnp.float32),
+    )
+    cfg = SolverConfig(
+        n_pyr_lvls=3,
+        sensor_size=(H, W),
+        params=LossParams(alpha=40.0, beta=0.0, gamma=0.001),
+        theta_opt_maxiters=(16, 10, 8),
+        handover=HandoverSettings(use_handover=False),
+        max_ls_evals=6,
+    )
+    res = solve_window(cfg, sample, tuple(cfg.zero_pyramid(jnp.float32)), True)
+    th = np.asarray(
+        scale_theta_to_sensor_size(res.final_theta_pyr[0], (H, W), "bilinear")
+    )
+
+    gy, gx = np.mgrid[0:H, 0:W].astype(np.float64)
+    gt = np.stack([a * (gx - cx), a * (gy - cy)], -1)
+
+    mask = np.zeros((H, W), bool)
+    mask[ys.astype(int), xs.astype(int)] = True
+    err = np.linalg.norm(th - gt, axis=-1)[mask]
+    mag = np.linalg.norm(gt, axis=-1)[mask]
+    assert err.mean() < 0.4 * mag.mean(), (err.mean(), mag.mean())
+    const_err = np.linalg.norm(
+        th[mask] - th[mask].mean(0, keepdims=True), axis=-1
+    ).mean()
+    assert const_err > 0.2 * mag.mean()  # genuinely non-uniform solution
