@@ -59,6 +59,60 @@ def test_multi_chunk(rng):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
+def test_randomized_consistency_sweep():
+    """Seeded fuzz: the fused kernel (interpret mode) must match the XLA
+    oracle in value AND gradient across random sensor sizes, event counts,
+    spreads (in/out-of-sensor), and NaN paddings."""
+    root = np.random.default_rng(2024)
+    for draw in range(10):
+        rng = np.random.default_rng(root.integers(1 << 31))
+        h = int(rng.integers(8, 64))
+        w = int(rng.integers(8, 96))
+        n = int(rng.integers(50, 20_000))
+        spread = float(rng.uniform(0, 8))
+        nan_frac = float(rng.uniform(0, 0.2))
+        sensor = (h, w)
+
+        xs = rng.uniform(-spread, w - 1 + spread, n).astype(np.float32)
+        ys = rng.uniform(-spread, h - 1 + spread, n).astype(np.float32)
+        bad = rng.uniform(0, 1, n) < nan_frac
+        xs[bad] = np.nan
+        ys[bad & (rng.uniform(0, 1, n) < 0.5)] = np.nan  # mixed NaN channels
+        xs_j, ys_j = jnp.asarray(xs), jnp.asarray(ys)
+
+        a = events_to_pdf_frame_pallas(xs_j, ys_j, sensor, 3, True)
+        b = events_to_pdf_frame(xs_j, ys_j, sensor)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5,
+            err_msg=f"draw {draw}: fwd sensor={sensor} n={n} "
+                    f"spread={spread:.1f} nan={nan_frac:.2f}",
+        )
+
+        cot = jnp.asarray(rng.normal(0, 1, sensor).astype(np.float32))
+        # NaN coordinates carry no gradient path (sanitization happens in
+        # the loss layer); compare grads on the finite events only
+        fin = np.isfinite(xs) & np.isfinite(ys)
+        xs_f, ys_f = jnp.asarray(xs[fin]), jnp.asarray(ys[fin])
+
+        def f_pallas(xs, ys):
+            return (events_to_pdf_frame_pallas(xs, ys, sensor, 3, True) * cot).sum()
+
+        def f_xla(xs, ys):
+            return (events_to_pdf_frame(xs, ys, sensor) * cot).sum()
+
+        gx_p, gy_p = jax.grad(f_pallas, argnums=(0, 1))(xs_f, ys_f)
+        gx_x, gy_x = jax.grad(f_xla, argnums=(0, 1))(xs_f, ys_f)
+        np.testing.assert_allclose(
+            np.asarray(gx_p), np.asarray(gx_x), rtol=1e-3, atol=1e-4,
+            err_msg=f"draw {draw}: d/dx sensor={sensor} n={n}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(gy_p), np.asarray(gy_x), rtol=1e-3, atol=1e-4,
+            err_msg=f"draw {draw}: d/dy sensor={sensor} n={n}",
+        )
+
+
 # ---------------------------------------------------------------- banded
 
 BSENSOR = (320, 384)  # tall/wide enough that 128-row + 256-col bands engage
