@@ -347,3 +347,76 @@ def test_diverging_flow_recovery():
         th[mask] - th[mask].mean(0, keepdims=True), axis=-1
     ).mean()
     assert const_err > 0.2 * mag.mean()  # genuinely non-uniform solution
+
+
+def test_shear_flow_recovery():
+    """Recover a SHEAR field (dx = s*(y - cy), dy = 0) — with rotation
+    (curl) and zoom (divergence) this completes the first-order flow
+    decomposition; shear is the ground-plane pattern under forward motion.
+    Measured err/|gt| = 0.11 at s = 0.15 (rim displacement 3.6 px)."""
+    import numpy as np
+
+    from eincm_tpu.models.loss import LossParams
+    from eincm_tpu.models.pyramid import (
+        HandoverSettings,
+        SolverConfig,
+        WindowSample,
+        solve_window,
+    )
+    from eincm_tpu.ops.filters import gaussian_blur_3x3
+    from eincm_tpu.ops.normalize import normalize_to_unit_range
+    from eincm_tpu.ops.resize import scale_theta_to_sensor_size
+    from eincm_tpu.ops.splat import events_to_pdf_frame
+
+    H = W = 48
+    cy = 24.0
+    s = 0.15
+    rng = np.random.default_rng(9)
+    n_feat, n_ev = 60, 6144
+    feat = rng.uniform(6, 42, (n_feat, 2))
+
+    ts = rng.uniform(0, 1, n_ev).astype(np.float32)
+    which = rng.integers(0, n_feat, n_ev)
+    f = feat[which]
+    xs = np.round(f[:, 0] + s * ts * (f[:, 1] - cy)).astype(np.float32)
+    ys = np.round(f[:, 1]).astype(np.float32)
+    keep = (xs >= 0) & (xs < W) & (ys >= 0) & (ys < H)
+    xs, ys, ts = xs[keep], ys[keep], ts[keep]
+
+    def edge_map(t):
+        qx = feat[:, 0] + s * t * (feat[:, 1] - cy)
+        m = events_to_pdf_frame(jnp.asarray(qx), jnp.asarray(feat[:, 1]), (H, W))
+        return normalize_to_unit_range(gaussian_blur_3x3(m))
+
+    sample = WindowSample(
+        xs=jnp.asarray(xs),
+        ys=jnp.asarray(ys),
+        ts=jnp.asarray(ts),
+        edges=jnp.stack([edge_map(0.0), edge_map(1.0)]),
+        edge_ts=jnp.asarray([0.0, 1.0], jnp.float32),
+    )
+    cfg = SolverConfig(
+        n_pyr_lvls=3,
+        sensor_size=(H, W),
+        params=LossParams(alpha=40.0, beta=0.0, gamma=0.001),
+        theta_opt_maxiters=(16, 10, 8),
+        handover=HandoverSettings(use_handover=False),
+        max_ls_evals=6,
+    )
+    res = solve_window(cfg, sample, tuple(cfg.zero_pyramid(jnp.float32)), True)
+    th = np.asarray(
+        scale_theta_to_sensor_size(res.final_theta_pyr[0], (H, W), "bilinear")
+    )
+
+    gy, gx = np.mgrid[0:H, 0:W].astype(np.float64)
+    gt = np.stack([s * (gy - cy), np.zeros_like(gy)], -1)
+
+    mask = np.zeros((H, W), bool)
+    mask[ys.astype(int), xs.astype(int)] = True
+    err = np.linalg.norm(th - gt, axis=-1)[mask]
+    mag = np.linalg.norm(gt, axis=-1)[mask]
+    assert err.mean() < 0.4 * mag.mean(), (err.mean(), mag.mean())
+    const_err = np.linalg.norm(
+        th[mask] - th[mask].mean(0, keepdims=True), axis=-1
+    ).mean()
+    assert const_err > 0.2 * mag.mean()  # genuinely non-uniform solution
