@@ -237,6 +237,60 @@ class TestDSECSubmission:
         assert np.all(np.abs(flow) < 100)
 
 
+class TestShippedConfigs:
+    """The shipped per-dataset YAMLs must parse through the real loader and
+    reproduce the reference run.sh tunings (BASELINE.md table) — a typo in
+    configs/ would otherwise only surface on a user's machine."""
+
+    REPO = __import__("pathlib").Path(__file__).resolve().parent.parent
+
+    def _load(self, name):
+        cfg = load_config(str(self.REPO / "configs" / f"{name}.yaml"))
+        # the SolverConfig bridge validates maxiter/bases shape invariants
+        cfg.solver_config()
+        return cfg
+
+    def test_all_shipped_configs_load(self):
+        for p in (self.REPO / "configs").glob("*.yaml"):
+            self._load(p.stem)
+
+    def test_ecd_slider_tuning(self):
+        cfg = self._load("ecd_slider")
+        assert (cfg.alpha, cfg.beta) == (60.0, 60.0)
+        assert cfg.dataset.kind == "ecd"
+        assert cfg.dataset.des_n_events == 30_000
+        assert tuple(cfg.dataset.sensor_size) == (176, 240)
+        assert (cfg.edge.canny_th1, cfg.edge.canny_th2) == (100.0, 200.0)
+        assert cfg.solver.theta_maxiter == 25
+
+    def test_mvsec_indoor_tuning(self):
+        cfg = self._load("mvsec_indoor")
+        assert (cfg.alpha, cfg.beta) == (20.0, 35.0)
+        assert cfg.dataset.delta_idx == 4
+        assert cfg.solver.theta_maxiter == 40
+        assert cfg.solver.n_extra_attempts == {0: 1, 1: 1}
+        assert tuple(cfg.dataset.sensor_size) == (256, 336)
+
+    def test_mvsec_outdoor_tuning(self):
+        cfg = self._load("mvsec_outdoor")
+        assert cfg.gamma == 0.0025
+        assert cfg.dataset.des_n_events == 40_000
+        assert cfg.solver.theta_maxiter == 25
+        assert (cfg.edge.canny_th1, cfg.edge.canny_th2) == (30.0, 80.0)
+
+    def test_dsec_tuning(self):
+        cfg = self._load("dsec_test")
+        assert (cfg.alpha, cfg.beta) == (2000.0, 4000.0)
+        assert cfg.dataset.des_n_events == 1_500_000
+        assert tuple(cfg.dataset.sensor_size) == (480, 640)
+        assert cfg.solver.n_extra_attempts == {i: 2 for i in range(5)}
+        assert cfg.solver.splat_impl == "pallas_banded2d"
+        # growing maxiters reproduce the reference per-level budgets
+        sc = cfg.solver_config()
+        assert sc.theta_opt_maxiters[0] == 40
+        assert sc.theta_opt_maxiters[-1] == cfg.solver.theta_miniter
+
+
 class TestPlotterExtras:
     def test_nan_visualizer_and_step_plots(self, tmp_path, rng):
         from eincm_tpu.experiments.plotters import EINCMExperimentPlotter
