@@ -137,3 +137,37 @@ def test_evaluate_theta_array_with_prepared_inputs_identical(rng):
         )
         for k, v in evals_ref.items():
             assert np.array_equal(np.asarray(v), np.asarray(evals_new[k])), k
+
+
+class TestProfilingUtils:
+    """utils/profiling.py (SURVEY.md §5 tracing/profiling subsystem)."""
+
+    def test_timer_sections_and_report(self):
+        from eincm_tpu.utils.profiling import Timer
+
+        t = Timer()
+        x = jnp.arange(8.0)
+        with t.section("a", sync_on=x):
+            _ = x * 2
+        with t.section("a"):
+            pass
+        with t.section("b", sync_on=np.arange(3)):  # non-jax leaf syncs too
+            pass
+        assert t.counts["a"] == 2 and t.counts["b"] == 1
+        rep = t.report()
+        assert "a: total" in rep and "ms/call" in rep
+
+    def test_timed_jitted_callable(self):
+        import jax
+
+        from eincm_tpu.utils.profiling import timed
+
+        f = jax.jit(lambda x: (x * x).sum())
+        sec, out = timed(f, jnp.arange(16.0), iters=3)
+        assert sec > 0 and float(out) == float((jnp.arange(16.0) ** 2).sum())
+
+    def test_force_sync_empty_tree(self):
+        from eincm_tpu.utils.profiling import force_sync
+
+        force_sync(())  # no leaves: must be a no-op, not an error
+        force_sync({"x": jnp.zeros((2, 2))})
