@@ -391,7 +391,10 @@ class EINCMExperiment:
                 f"parallel super-step checkpointing every ~{pct}% of "
                 "windows (prior chain carried exactly across super-steps)"
             )
-            step = max(n_dev, -(-int(np.ceil(total * pct / 100.0)) // n_dev) * n_dev)
+            # sized from the n windows actually solved this run (resume /
+            # run_idx_range can leave n << len(dl); sizing from the full
+            # sequence would silently produce zero mid-run checkpoints)
+            step = max(n_dev, -(-int(np.ceil(n * pct / 100.0)) // n_dev) * n_dev)
         else:
             step = max(n, 1)
 
@@ -446,12 +449,21 @@ class EINCMExperiment:
         and drop first-sample semantics after the first solve — exactly the
         reference's behavior (solver.py:254-256 updates prior_theta_pyr and
         _IS_FIRST_SAMPLE at the END of solve()).
+
+        The returned result carries the FIRST repeat's prior_loss_lvl0: the
+        armijo-rescue anomaly signal compares the window's optimum against
+        the PREVIOUS window's theta, and later repeats would measure it
+        against the window's own near-optimal first solve instead (making
+        `_anomalous` vacuously false for n_repeat_solve > 1).
         """
+        first_prior_loss = None
         for _ in range(max(1, self.cfg.phases.n_repeat_solve)):
             res = solver(staged.window, prior, is_first=is_first)
+            if first_prior_loss is None:
+                first_prior_loss = res.prior_loss_lvl0
             prior = res.final_theta_pyr
             is_first = False
-        return res
+        return res._replace(prior_loss_lvl0=first_prior_loss)
 
     @staticmethod
     def _anomalous(res) -> bool:

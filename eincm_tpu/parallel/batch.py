@@ -232,14 +232,25 @@ def sequence_shard_solve(
 
         def per_device(local_batch, bp0):
             zero_prior = cfg.zero_pyramid(local_batch.xs.dtype)
+            if n_dev == 1:
+                # single device: ONE chunk chain is already the exact
+                # sequential answer — seeded by the super-step carry when
+                # present, first-sample semantics otherwise. The two-pass
+                # boundary exchange below would solve the whole chunk twice
+                # and discard pass 1 wholesale.
+                if has_boundary:
+                    res, _ = chunk_chain(
+                        local_batch, bp0, first_is_global_first=False
+                    )
+                else:
+                    res, _ = chunk_chain(
+                        local_batch, zero_prior, first_is_global_first=True
+                    )
+                return res, res
             # pass 1: chunk-first windows run first-sample semantics
             res1, chunk_final = chunk_chain(
                 local_batch, zero_prior, first_is_global_first=True
             )
-            if n_dev == 1 and not has_boundary:
-                # single device, no carried prior: pass 1 IS the exact
-                # sequential chain — pass 2 would be discarded wholesale
-                return res1, res1
             # boundary exchange: chunk i's final -> device i+1 (device 0
             # receives zeros; with a carried super-step boundary prior,
             # device 0 uses that instead and takes pass 2 like everyone

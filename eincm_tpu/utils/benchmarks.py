@@ -1,6 +1,8 @@
-"""Shared MVSEC-scale solve-latency harness (bench.py + scripts/interp_ab.py).
+"""Shared benchmark workloads (bench.py + scripts/interp_ab.py): the
+MVSEC-scale solve-latency harness and the DSEC-scale warp+splat throughput
+workload.
 
-One definition of the benchmark workload so paired A/B scripts and the
+One definition of each benchmark workload so paired A/B scripts and the
 driver bench can never drift apart (they previously carried near-identical
 copies of this setup).
 
@@ -83,11 +85,18 @@ def build_mvsec_solve_bench(
 ):
     """Build the chained-window solve benchmark.
 
-    Returns ``(one_round, res)`` where ``one_round()`` solves the
-    ``n_windows - 1`` post-warmup windows carrying the handover chain
-    across calls (one scalar-readback sync per round — the experiment
-    manager pipelines readbacks the same way) and returns seconds per
-    window; ``res`` is the warmup window's SolveResult for diagnostics.
+    Returns ``(one_round, res)`` where ``one_round()`` solves windows
+    1..n_windows-1 as a handover chain seeded from window 0's solved
+    result (one scalar-readback sync per round — the experiment manager
+    pipelines readbacks the same way) and returns seconds per window;
+    ``res`` is the warmup window's SolveResult for diagnostics.
+
+    Every round re-runs the SAME chain from the SAME seed, so each
+    measured solve's prior is always exactly ``rotate_deg`` away from its
+    optimum. (Carrying the chain across rounds instead would hand round
+    k+1's first window the LAST window's theta — (n_windows-1)·rotate_deg
+    away — giving 1 of the measured windows a different, harder problem
+    each round and contradicting the steady-state rationale above.)
 
     ``interp_impl`` (xla | pallas) is applied BEFORE the solver traces, so
     the compiled executable is pinned to it; None keeps the current default.
@@ -126,23 +135,92 @@ def build_mvsec_solve_bench(
     # compile both solver variants (is_first toggles the prior handling)
     # + first syncs; jax.block_until_ready does not block on the axon
     # relay, hence the scalar readbacks
-    res = solver(staged[0], cfg.zero_pyramid(), is_first=True)
-    float(res.final_theta_pyr[0].sum())
-    res = solver(staged[1], res.final_theta_pyr, is_first=False)
+    res0 = solver(staged[0], cfg.zero_pyramid(), is_first=True)
+    float(res0.final_theta_pyr[0].sum())
+    res = solver(staged[1], res0.final_theta_pyr, is_first=False)
     float(res.final_theta_pyr[0].sum())
 
-    state = {"res": res}
+    seed_pyr = res0.final_theta_pyr
 
     def one_round() -> float:
-        r = state["res"]
+        prior = seed_pyr
         t0 = time.perf_counter()
         for k in range(1, n_windows):
-            r = solver(staged[k], r.final_theta_pyr, is_first=False)
-        float(r.final_theta_pyr[0].sum())  # one sync per round
-        state["res"] = r
+            r = solver(staged[k], prior, is_first=False)
+            prior = r.final_theta_pyr
+        float(prior[0].sum())  # one sync per round
         return (time.perf_counter() - t0) / (n_windows - 1)
 
     return one_round, res
+
+
+DSEC_H, DSEC_W = 480, 640
+DSEC_N_EVENTS = 1_500_000
+DSEC_N_REFS = 2
+
+
+def build_dsec_throughput_bench(
+    interp_impl: str | None = None,
+    splat_impl: str = "pallas_banded2d",
+):
+    """Build the DSEC-scale warp+splat throughput workload (the driver's
+    headline metric; shared with scripts/interp_ab.py so paired A/Bs can
+    never drift from bench.py).
+
+    Workload: 480x640 sensor, 1.5M events, 2 reference times
+    (run.sh:99-121 des_n_events=1500000). This is the solver's hot path:
+    coarse theta -> fused bilinear interp + warp -> banded MXU splat per
+    reference. Events arrive tile-sorted (the DSEC-scale staging mode), so
+    the row+column-banded kernel engages; it degrades gracefully to the
+    row-banded and full-height kernels when banding is invalid.
+
+    Returns ``one_round()`` -> seconds per warp+splat iteration (10 jitted
+    iterations, one scalar-readback sync — the axon relay does not honor
+    block_until_ready). Events per iteration = DSEC_N_EVENTS * DSEC_N_REFS.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from eincm_tpu.data.staging import tile_sort_events
+    from eincm_tpu.ops.splat import set_splat_impl, splat_multi_ref
+    from eincm_tpu.ops.warp import set_interp_impl, warp_events_multi_ref_coarse
+
+    set_splat_impl(splat_impl)
+    if interp_impl is not None:
+        set_interp_impl(interp_impl)
+
+    h, w = DSEC_H, DSEC_W
+    rng = np.random.default_rng(0)
+    xs0 = rng.integers(0, w, DSEC_N_EVENTS).astype(np.float32)
+    ys0 = rng.integers(0, h, DSEC_N_EVENTS).astype(np.float32)
+    ts0 = rng.uniform(0, 1, DSEC_N_EVENTS).astype(np.float32)
+    xs_t, ys_t, ts_t, _ = tile_sort_events(
+        xs0, ys0, ts0, np.zeros(DSEC_N_EVENTS, bool), h
+    )
+    xs, ys, ts = jnp.asarray(xs_t), jnp.asarray(ys_t), jnp.asarray(ts_t)
+    t_refs = jnp.asarray(np.linspace(0, 1, DSEC_N_REFS).astype(np.float32))
+    theta = jnp.asarray(rng.normal(0, 4, (16, 16, 2)).astype(np.float32))
+
+    @jax.jit
+    def warp_splat(theta, seed):
+        wx, wy = warp_events_multi_ref_coarse(theta, xs, ys, ts, t_refs, (h, w))
+        wx = wx + seed * 1e-6  # defeat caching across iterations
+        frames = splat_multi_ref(wx, wy, (h, w))
+        return frames.sum()
+
+    # compile + first sync
+    float(warp_splat(theta, jnp.float32(0.0)))
+
+    def one_round() -> float:
+        iters = 10
+        t0 = time.perf_counter()
+        acc = jnp.float32(0.0)
+        for i in range(iters):
+            acc = acc + warp_splat(theta, jnp.float32(i))
+        float(acc)  # single sync per round
+        return (time.perf_counter() - t0) / iters
+
+    return one_round
 
 
 def solve_diag_str(res) -> str:

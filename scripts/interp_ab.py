@@ -8,7 +8,6 @@ Run on the real TPU:  python scripts/interp_ab.py
 
 import os
 import sys
-import time
 
 os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR",
@@ -16,8 +15,6 @@ os.environ.setdefault(
 )
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 
@@ -31,44 +28,11 @@ def solve_latency(impl):
 
 
 def throughput_fn(impl):
-    from eincm_tpu.data.staging import tile_sort_events
-    from eincm_tpu.ops.splat import set_splat_impl, splat_multi_ref
-    from eincm_tpu.ops.warp import set_interp_impl, warp_events_multi_ref_coarse
+    # one shared definition of the DSEC-scale warp+splat workload with
+    # bench.py's headline metric — the interp impl is pinned before tracing
+    from eincm_tpu.utils.benchmarks import build_dsec_throughput_bench
 
-    set_splat_impl("pallas_banded2d")
-    set_interp_impl(impl)
-    H, W = 480, 640
-    n_events, n_refs = 1_500_000, 2
-    rng = np.random.default_rng(0)
-    xs0 = rng.integers(0, W, n_events).astype(np.float32)
-    ys0 = rng.integers(0, H, n_events).astype(np.float32)
-    ts0 = rng.uniform(0, 1, n_events).astype(np.float32)
-    xs_t, ys_t, ts_t, _ = tile_sort_events(
-        xs0, ys0, ts0, np.zeros(n_events, bool), H
-    )
-    xs, ys, ts = jnp.asarray(xs_t), jnp.asarray(ys_t), jnp.asarray(ts_t)
-    t_refs = jnp.asarray(np.linspace(0, 1, n_refs).astype(np.float32))
-    theta = jnp.asarray(rng.normal(0, 4, (16, 16, 2)).astype(np.float32))
-
-    @jax.jit
-    def warp_splat(theta, seed):
-        wx, wy = warp_events_multi_ref_coarse(theta, xs, ys, ts, t_refs, (H, W))
-        wx = wx + seed * 1e-6
-        frames = splat_multi_ref(wx, wy, (H, W))
-        return frames.sum()
-
-    float(warp_splat(theta, jnp.float32(0.0)))
-
-    def one_round():
-        iters = 10
-        t0 = time.perf_counter()
-        acc = jnp.float32(0.0)
-        for i in range(iters):
-            acc = acc + warp_splat(theta, jnp.float32(i))
-        float(acc)
-        return (time.perf_counter() - t0) / iters
-
-    return one_round
+    return build_dsec_throughput_bench(interp_impl=impl)
 
 
 def main():
@@ -95,9 +59,11 @@ def main():
     for r in range(4):
         for impl in ("xla", "pallas"):
             tput[impl].append(thr[impl]())
+    from eincm_tpu.utils.benchmarks import DSEC_N_EVENTS, DSEC_N_REFS
+
     for impl in ("xla", "pallas"):
         best = min(tput[impl])
-        mev = 1_500_000 * 2 / best / 1e6
+        mev = DSEC_N_EVENTS * DSEC_N_REFS / best / 1e6
         print(f"warp_splat[{impl}] best {best*1e3:.2f} ms/iter = {mev:.0f} Mev/s"
               "  (rounds: "
               + ", ".join(f"{x*1e3:.2f}" for x in tput[impl]) + ")")

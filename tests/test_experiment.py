@@ -468,6 +468,46 @@ class TestArmijoRescue:
         # cannot end worse: the anomaly predicate must pass
         assert not exp._anomalous(res2)
 
+    def test_repeat_solve_keeps_first_prior_loss(self, tmp_path):
+        """Regression (round-3 review): with phases.n_repeat_solve > 1 the
+        returned prior_loss_lvl0 must be the FIRST repeat's — measured
+        against the previous WINDOW's theta — not the last repeat's, which
+        measures against the window's own near-optimal first solve and makes
+        the anomaly predicate vacuously false."""
+        cfg = tiny_cfg(tmp_path)
+        cfg.phases.n_repeat_solve = 2
+        exp = EINCMExperiment(cfg)
+        dl = cfg.dataset.make_loader()
+        dl.get_ready()
+        staged0, staged1 = exp.stage(dl[0]), exp.stage(dl[1])
+        res0 = exp._solve_one(
+            exp.window_solver, staged0, exp.solver_cfg.zero_pyramid(), True
+        )
+        res1 = exp._solve_one(
+            exp.window_solver, staged1, res0.final_theta_pyr, False
+        )
+        # ground truth for the signal: a single un-repeated solve from the
+        # same prior (prior_loss_lvl0 depends only on the prior, not on the
+        # optimization that follows)
+        ref = exp.window_solver(
+            staged1.window, res0.final_theta_pyr, is_first=False
+        )
+        f_repeat = float(res1.prior_loss_lvl0)
+        f_ref = float(ref.prior_loss_lvl0)
+        assert np.isfinite(f_repeat)
+        np.testing.assert_allclose(f_repeat, f_ref, rtol=1e-6)
+        # and it must NOT be the last repeat's self-referential value (ref
+        # IS the first repeat, so feeding its final theta back reproduces
+        # exactly what the buggy second repeat reported): the loss at the
+        # window's own first-solve optimum is strictly better than at the
+        # previous window's theta on this workload
+        f_buggy = float(
+            exp.window_solver(
+                staged1.window, ref.final_theta_pyr, is_first=False
+            ).prior_loss_lvl0
+        )
+        assert f_buggy < f_repeat
+
     def test_rescue_engages_and_results_valid(self, tmp_path, monkeypatch):
         cfg = tiny_cfg(tmp_path)
         cfg.phases.eval = False
@@ -492,6 +532,28 @@ class TestArmijoRescue:
         )
         exp.run_solver()
         assert exp.n_rescue_attempts == 0 and exp.n_rescued == 0
+
+
+def test_parallel_checkpoint_step_sized_from_solved_windows(tmp_path):
+    """Regression (round-3 review): the super-step size must come from the
+    windows actually solved this run, not len(dataloader) — with a
+    run_idx_range restricting 24 windows to 16, sizing from 24 would round
+    the step past 16 and silently write zero mid-run checkpoints."""
+    cfg = tiny_cfg(tmp_path)
+    cfg.dataset.n_windows = 24
+    cfg.dataset.velocity = (0.5, -0.25)
+    cfg.phases.parallel_windows = True
+    cfg.phases.eval = False
+    cfg.phases.run_idx_range = (0, 16)
+    cfg.phases.parallel_checkpoint_every_percent = 50.0
+    cfg.phases.delete_checkpoints_at_end = False
+    exp = EINCMExperiment(cfg)
+    exp.run_solver()
+    assert len(exp.opt_results) == 16
+    ckpts = sorted(exp.ckpt_dir.glob("checkpoint_*.npz"))
+    assert len(ckpts) == 1, [c.name for c in ckpts]
+    ck = np.load(ckpts[0], allow_pickle=True)["opt_results"].item()
+    assert len(ck) == 8  # first super-step: 50% of the 16 solved windows
 
 
 def test_parallel_windows_checkpoint_resume(tmp_path):

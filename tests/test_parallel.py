@@ -186,6 +186,35 @@ def test_sequence_shard_single_device_matches_sequential(rng):
     )
 
 
+def test_sequence_shard_single_device_with_boundary(rng):
+    """n_dev == 1 WITH a carried boundary prior (a checkpointed super-step
+    resume) runs ONE chunk chain seeded by it — regression (round-3 review):
+    it used to run the full two-pass schedule, solving every window twice
+    and discarding pass 1 wholesale. Must match the sequential chain seeded
+    with the same prior."""
+    cfg = tiny_cfg()
+    b = 4
+    batch = tiny_batch(rng, b)
+    mesh = make_window_mesh(1)
+    bp = tuple(
+        jnp.asarray(rng.normal(0, 0.1, z.shape).astype(np.float32))
+        for z in cfg.zero_pyramid()
+    )
+    res, final = sequence_shard_solve(cfg, batch, mesh, boundary_prior=bp)
+
+    prior = list(bp)
+    seq = []
+    for i in range(b):
+        w = jax.tree_util.tree_map(lambda x, _i=i: x[_i], batch)
+        r = solve_window(cfg, w, prior, is_first_sample=False)
+        prior = r.final_theta_pyr
+        seq.append(r)
+    seq0 = np.stack([np.asarray(s.final_theta_pyr[0]) for s in seq])
+    np.testing.assert_allclose(
+        np.asarray(final[0]), seq0, rtol=1e-2, atol=5e-3
+    )
+
+
 def test_make_window_mesh_rejects_oversized():
     with pytest.raises(ValueError, match="8 JAX devices"):
         make_window_mesh(16)
