@@ -118,7 +118,9 @@ def build_mvsec_solve_bench(
 
     staged, _ = stage_mvsec_windows(n_windows, rotate_deg)
 
-    cfg = SolverConfig(
+    # overrides REPLACE base fields (a plain ** splat would raise
+    # "multiple values for keyword argument" on any shared key)
+    cfg_kwargs = dict(
         n_pyr_lvls=5,
         sensor_size=(MVSEC_H, MVSEC_W),
         params=LossParams(alpha=20.0, beta=35.0, gamma=0.0, delta=0.0),
@@ -128,8 +130,9 @@ def build_mvsec_solve_bench(
         handover=HandoverSettings(
             use_handover=True, solve_handover_for_levels=(0,)
         ),
-        **(solver_overrides or {}),
     )
+    cfg_kwargs.update(solver_overrides or {})
+    cfg = SolverConfig(**cfg_kwargs)
     solver = make_window_solver(cfg)
 
     # compile both solver variants (is_first toggles the prior handling)
@@ -224,11 +227,23 @@ def build_dsec_throughput_bench(
 
 
 def solve_diag_str(res) -> str:
-    """One-line diagnostic proving the measured windows do real work."""
-    iters = [int(s.iter_num) for s in res.theta_opt_states]
+    """One-line diagnostic proving the measured windows do real work.
+
+    `total_iters` counts across retry attempts — the honest iteration count.
+    (`iter_num` alone is the LAST attempt only: at the shipped tuning the
+    first attempt at levels 0/1 typically exhausts maxiter under the f32
+    gtol=1e-4 and the extra-attempt retry fires, so last-attempt counts
+    like [3, 5, ...] hide an exhausted 40/33-iteration first attempt —
+    exactly the reference's retry semantics, src/eincm/solver.py:218-239.)
+    """
+    states = res.theta_opt_states
+    iters = [int(s.total_iters) for s in states]
+    attempts = [int(s.n_attempts) for s in states]
+    probes = sum(int(s.n_fun_evals) - int(s.total_iters) for s in states)
     th0 = np.asarray(res.final_theta_pyr[0]).reshape(-1, 2).mean(0)
     return (
-        f"iters/level={iters} "
-        f"f0={float(res.theta_opt_states[0].fun_val):.4f} "
+        f"total_iters/level={iters} (sum {sum(iters)}) "
+        f"attempts/level={attempts} ls_probes={probes} "
+        f"f0={float(states[0].fun_val):.4f} "
         f"theta0_mean={th0}"
     )

@@ -26,13 +26,16 @@ MEASURED (round 3, real TPU, amortized over 200 in-dispatch evaluations):
     real chain well below the isolated-stage sum.
 
 Conclusion: the earlier ~1.5 ms value&grad reading was dominated by
-dispatch, not compute — amortized in-dispatch cost is 0.67 ms, so the
-~85 ms rotated-chain solve p50 decomposes as ~31 value&grad (21 ms)
-+ ~120 value-only armijo probes (30 ms) + handover golden-section probes
-+ BFGS/pyramid overhead. There is no hidden per-eval fixed cost to shave;
-further p50 gains must come from fewer evaluations (measured dead ends:
-armijo_interpolate eats its savings in rescues; Hessian warm-start no-win)
-or a faster splat backward (0.46 of the 0.67 ms).
+dispatch, not compute — amortized in-dispatch cost is 0.67 ms. Per-level
+counts on the bench workload (CPU, same math) complete the picture: the
+~85-93 ms rotated-chain p50 is ~60-93 value&grad iterations per window
+(every level terminates on line-search exhaustion at the f32 noise floor,
+status 2, and the reference-parity extra-attempt retry re-runs levels 0/1)
+plus ~185 value-only probes; iters*0.671 + probes*0.25 reproduces the
+measured p50. No hidden per-eval fixed cost to shave; fewer-eval levers
+measured no-win (armijo_interpolate eats its savings in rescues; Hessian
+warm-start no-win), leaving only a faster splat backward (0.46 of the
+0.67 ms) — itself at its formulation floor per the roofline.
 """
 
 import os
