@@ -137,7 +137,13 @@ class SolverSettings:
     pyramid_upscale_method: str = "repeat"
     pyramid_downscale_method: str = "bilinear"
     scale_theta_to_sensor_size_method: str = "bilinear"
-    max_ls_evals: int = 10
+    # line-search evaluation budget. 6 validated for the shipped 'armijo'
+    # (10-vs-6 A/B, scripts/ls_evals_ab.py: AEE neutral, probes −37%,
+    # p50 −10% — most probes beyond the first few are line-search-failure
+    # detection at the f32 noise floor). For 'wolfe' (bracket+zoom budget,
+    # different meaning) the validated setting is 10+; the armijo rescue's
+    # wolfe re-solve pins >= 10 internally.
+    max_ls_evals: int = 6
     # 'armijo' (default; 1.6x faster, accuracy-validated vs wolfe — PARITY.md)
     # | 'wolfe' (strong Wolfe, scipy-parity semantics)
     line_search: str = "armijo"

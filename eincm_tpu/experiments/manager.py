@@ -488,8 +488,14 @@ class EINCMExperiment:
         if self._rescue_solver is None:
             import dataclasses
 
+            # the wolfe second opinion keeps its validated bracket+zoom
+            # budget even under the leaner armijo probe cap (ls_evals_ab.py)
             self._rescue_solver = make_window_solver(
-                dataclasses.replace(self.solver_cfg, line_search="wolfe")
+                dataclasses.replace(
+                    self.solver_cfg,
+                    line_search="wolfe",
+                    max_ls_evals=max(10, self.solver_cfg.max_ls_evals),
+                )
             )
         wolfe_res = self._solve_one(self._rescue_solver, staged, prior, False)
         f_a = float(armijo_res.theta_opt_states[0].fun_val)

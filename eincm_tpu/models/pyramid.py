@@ -93,9 +93,14 @@ class SolverConfig:
     pyramid_downscale_method: str = "bilinear"
     scale_to_sensor_size_method: str = "bilinear"
     handover: HandoverSettings = field(default_factory=HandoverSettings)
-    # 10 line-search evaluations keeps end accuracy identical to 25 while
-    # cutting total loss evaluations ~40% (measured at MVSEC scale)
-    max_ls_evals: int = 10
+    # line-search evaluation budget per iteration. For 'armijo' this caps
+    # the value-only probes: 10 kept accuracy identical to 25 (round 2),
+    # and 6 to 10 (round-3 A/B, scripts/ls_evals_ab.py — AEE neutral,
+    # probes −37%, p50 −10%: beyond the first few probes the search is
+    # almost always detecting line-search failure at the f32 noise floor,
+    # not finding steps). For 'wolfe' it is the bracket+zoom budget; wolfe
+    # parity studies should set 10-25 (the reference-parity harness uses 25).
+    max_ls_evals: int = 6
     # 'armijo' = backtracking with value-only probes (a probe costs a forward
     # pass, not forward+backward) — the default after validation against
     # strong Wolfe: ~1.6x faster per window with mixed-sign AEE deltas within

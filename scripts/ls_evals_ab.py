@@ -18,6 +18,25 @@ Protocol (real TPU):
   2. latency: build_mvsec_solve_bench paired p50, interleaved rounds.
 
 Run:  python scripts/ls_evals_ab.py
+
+MEASURED (round 3, real TPU, this script):
+
+    accuracy (10-window chain)  cap=10: AEE/window mean 0.0708, max 0.0989,
+                                        rescues 1 attempted / 0 applied
+                                cap=6:  AEE/window mean 0.0593, max 0.0832,
+                                        rescues 0 / 0
+                                per-window delta: mean −0.0116 px,
+                                worst degradation +0.0087 px
+    latency (bench workload)    cap=10: p50 88.0 ms    cap=6: p50 79.2 ms
+    probe counts (diag window)  cap=10: 180 probes / 55 iters
+                                cap=6:  114 probes / 53 iters
+
+Verdict: accuracy is neutral-to-better (deltas are iterate-level chaos, the
+worst per-window degradation is 0.009 px ≈ noise; fewer anomaly signals,
+not more), probes −37%, p50 −10% — consistent with the failure-burst
+accounting. cap=6 SHIPPED as the default (SolverSettings /
+SolverConfig.max_ls_evals); the armijo rescue's wolfe re-solve pins its
+own budget to >= 10, and wolfe parity studies keep 10-25.
 """
 
 import json
