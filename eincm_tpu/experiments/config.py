@@ -137,13 +137,14 @@ class SolverSettings:
     pyramid_upscale_method: str = "repeat"
     pyramid_downscale_method: str = "bilinear"
     scale_theta_to_sensor_size_method: str = "bilinear"
-    # line-search evaluation budget. 6 validated for the shipped 'armijo'
-    # (10-vs-6 A/B, scripts/ls_evals_ab.py: AEE neutral, probes −37%,
-    # p50 −10% — most probes beyond the first few are line-search-failure
-    # detection at the f32 noise floor). For 'wolfe' (bracket+zoom budget,
-    # different meaning) the validated setting is 10+; the armijo rescue's
-    # wolfe re-solve pins >= 10 internally.
-    max_ls_evals: int = 6
+    # line-search evaluation budget; None resolves by line search — 6 for
+    # 'armijo' (10-vs-6 A/B, scripts/ls_evals_ab.py: AEE neutral, probes
+    # −37%, p50 −10% — most probes beyond the first few are
+    # line-search-failure detection at the f32 noise floor), 10 for 'wolfe'
+    # (bracket+zoom budget, a different meaning; its round-2 validation was
+    # at 10). Explicit values always win; the armijo rescue's wolfe
+    # re-solve pins >= 10 internally.
+    max_ls_evals: Optional[int] = None
     # 'armijo' (default; 1.6x faster, accuracy-validated vs wolfe — PARITY.md)
     # | 'wolfe' (strong Wolfe, scipy-parity semantics)
     line_search: str = "armijo"
@@ -281,7 +282,11 @@ class ExperimentConfig:
             pyramid_downscale_method=s.pyramid_downscale_method,
             scale_to_sensor_size_method=s.scale_theta_to_sensor_size_method,
             handover=self.handover,
-            max_ls_evals=s.max_ls_evals,
+            max_ls_evals=(
+                s.max_ls_evals
+                if s.max_ls_evals is not None
+                else (6 if s.line_search == "armijo" else 10)
+            ),
             line_search=s.line_search,
             armijo_interpolate=s.armijo_interpolate,
             collect_intermediate=s.collect_intermediate
