@@ -282,11 +282,10 @@ class ExperimentConfig:
             pyramid_downscale_method=s.pyramid_downscale_method,
             scale_to_sensor_size_method=s.scale_theta_to_sensor_size_method,
             handover=self.handover,
-            max_ls_evals=(
-                s.max_ls_evals
-                if s.max_ls_evals is not None
-                else (6 if s.line_search == "armijo" else 10)
-            ),
+            # None resolves per line search in SolverConfig.__post_init__
+            # (6 armijo / 10 wolfe) — one resolution point for both the
+            # YAML path and direct SolverConfig construction
+            max_ls_evals=s.max_ls_evals,
             line_search=s.line_search,
             armijo_interpolate=s.armijo_interpolate,
             collect_intermediate=s.collect_intermediate

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 from functools import partial
-from typing import Dict, NamedTuple, Sequence, Tuple
+from typing import Dict, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -93,14 +93,16 @@ class SolverConfig:
     pyramid_downscale_method: str = "bilinear"
     scale_to_sensor_size_method: str = "bilinear"
     handover: HandoverSettings = field(default_factory=HandoverSettings)
-    # line-search evaluation budget per iteration. For 'armijo' this caps
-    # the value-only probes: 10 kept accuracy identical to 25 (round 2),
-    # and 6 to 10 (round-3 A/B, scripts/ls_evals_ab.py — AEE neutral,
-    # probes −37%, p50 −10%: beyond the first few probes the search is
-    # almost always detecting line-search failure at the f32 noise floor,
-    # not finding steps). For 'wolfe' it is the bracket+zoom budget; wolfe
-    # parity studies should set 10-25 (the reference-parity harness uses 25).
-    max_ls_evals: int = 6
+    # line-search evaluation budget per iteration. None resolves by line
+    # search in __post_init__: 6 for 'armijo', 10 for 'wolfe' — the budgets
+    # mean different things. For 'armijo' it caps the value-only probes:
+    # 10 kept accuracy identical to 25 (round 2), and 6 to 10 (round-3 A/B,
+    # scripts/ls_evals_ab.py — AEE neutral, probes −37%, p50 −10%: beyond
+    # the first few probes the search is almost always detecting line-search
+    # failure at the f32 noise floor, not finding steps). For 'wolfe' it is
+    # the bracket+zoom budget, validated at 10 (round 2); wolfe parity
+    # studies should set 10-25 (the reference-parity harness uses 25).
+    max_ls_evals: Optional[int] = None
     # 'armijo' = backtracking with value-only probes (a probe costs a forward
     # pass, not forward+backward) — the default after validation against
     # strong Wolfe: ~1.6x faster per window with mixed-sign AEE deltas within
@@ -136,6 +138,10 @@ class SolverConfig:
         if not self.handover_opt_maxiters:
             object.__setattr__(
                 self, "handover_opt_maxiters", (15,) * self.n_pyr_lvls
+            )
+        if self.max_ls_evals is None:
+            object.__setattr__(
+                self, "max_ls_evals", 6 if self.line_search == "armijo" else 10
             )
 
     # -- pyramid geometry ---------------------------------------------------

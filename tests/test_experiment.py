@@ -64,6 +64,33 @@ class TestConfig:
         assert cfg.alpha == 33 and cfg.beta == 44
         assert cfg.dataset.des_n_events == 77
 
+    def test_max_ls_evals_resolves_per_line_search(self):
+        # None resolves at SolverConfig.__post_init__ (6 armijo / 10 wolfe)
+        # so BOTH the YAML path and direct SolverConfig construction agree;
+        # explicit values always win.
+        from eincm_tpu.models.pyramid import SolverConfig
+
+        def mk(**kw):
+            return SolverConfig(
+                n_pyr_lvls=2,
+                sensor_size=(8, 8),
+                params=ExperimentConfig().loss_params,
+                theta_opt_maxiters=(2, 2),
+                **kw,
+            )
+
+        assert mk(line_search="armijo").max_ls_evals == 6
+        assert mk(line_search="wolfe").max_ls_evals == 10
+        assert mk(line_search="wolfe", max_ls_evals=4).max_ls_evals == 4
+
+        cfg = ExperimentConfig()
+        assert cfg.solver.max_ls_evals is None
+        assert cfg.solver_config().max_ls_evals == 6
+        cfg.solver.line_search = "wolfe"
+        assert cfg.solver_config().max_ls_evals == 10
+        cfg.solver.max_ls_evals = 25
+        assert cfg.solver_config().max_ls_evals == 25
+
     def test_growing_maxiters(self):
         cfg = ExperimentConfig()
         cfg.solver.n_pyr_lvls = 5
