@@ -138,10 +138,29 @@ class DSECDataLoader:
                 delimiter=",", skiprows=1, dtype="int64", ndmin=2,
             )
         else:
-            self.eval_ts_us = np.loadtxt(
-                self.dataset.eval_ts_path, delimiter=",", skiprows=1,
-                dtype="int64", ndmin=2,
-            )
+            p = self.dataset.eval_ts_path
+            if self.extended and not p.exists():
+                # the extended `{seq}_.csv` is DERIVED data the reference
+                # expects users to copy from its docs assets
+                # (src/experiments/e00/README.md "DSEC Extended
+                # Evaluations"); reconstruct it in memory from the official
+                # CSV + image timestamps instead (bit-exact — see
+                # eincm_tpu/tools/dsec_extended_evals.py)
+                from eincm_tpu.tools.dsec_extended_evals import (
+                    extend_eval_timestamps,
+                )
+
+                official = np.loadtxt(
+                    p.with_name(p.name.replace("_.csv", ".csv")),
+                    delimiter=",", skiprows=1, dtype="int64", ndmin=2,
+                )
+                self.eval_ts_us = extend_eval_timestamps(
+                    official, self.l_image_ts_us
+                )
+            else:
+                self.eval_ts_us = np.loadtxt(
+                    p, delimiter=",", skiprows=1, dtype="int64", ndmin=2
+                )
 
     # --------------------------------------------------------- rectification
 

@@ -135,6 +135,81 @@ def make_dsec_tree(root, seed=1):
     return root, seq
 
 
+def make_dsec_test_tree(root, seed=7):
+    """Minimal DSEC TEST-split tree (no GT) with identity geometry and an
+    OFFICIAL eval-timestamp CSV (100 ms windows at 500 ms intervals); the
+    extended `{seq}_.csv` is generated from it in the tests via
+    `eincm_tpu.tools.dsec_extended_evals`.
+
+    Returns (root, sequence_name)."""
+    import h5py
+    import yaml
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    seq = "mini_test_seq"
+    ev_dir = root / f"Test/test_events/{seq}/events/left"
+    img_dir = root / f"Test/test_images/{seq}/images"
+    cal_dir = root / f"Test/test_calibration/{seq}/calibration"
+    eval_dir = root / "Evaluation/test_forward_optical_flow_timestamps"
+    for d in [ev_dir, img_dir / "left/rectified", cal_dir, eval_dir]:
+        d.mkdir(parents=True)
+
+    H, W = 480, 640
+    t_offset = 2_000_000
+    n_images = 31  # ~20 fps with jitter -> ~1.5 s span
+    img_rel_us = np.concatenate(
+        [[0], np.cumsum(rng.integers(49_900, 50_100, n_images - 1))]
+    ).astype(np.int64)
+    img_ts = t_offset + img_rel_us
+    np.savetxt(img_dir / "timestamps.txt", img_ts, fmt="%d")
+    for i in range(n_images):
+        Image.fromarray(
+            rng.integers(0, 255, (H, W)).astype(np.uint8)
+        ).save(img_dir / "left/rectified" / f"{i:06d}.png")
+
+    n_ev = 20000
+    span = int(img_rel_us[-1])
+    ts = np.sort(rng.integers(0, span, n_ev)).astype(np.int64)
+    with h5py.File(ev_dir / "events.h5", "w") as f:
+        f["events/x"] = rng.integers(0, W, n_ev).astype(np.uint16)
+        f["events/y"] = rng.integers(0, H, n_ev).astype(np.uint16)
+        f["events/t"] = ts
+        f["events/p"] = rng.integers(0, 2, n_ev).astype(np.uint8)
+        f["ms_to_idx"] = np.searchsorted(ts, np.arange(span // 1000 + 1) * 1000)
+        f["t_offset"] = t_offset
+
+    gx, gy = np.meshgrid(np.arange(W), np.arange(H))
+    rect = np.stack([gx, gy], axis=-1).astype(np.float32)  # identity rectify
+    with h5py.File(ev_dir / "rectify_map.h5", "w") as f:
+        f["rectify_map"] = rect
+
+    cam = {
+        "intrinsics": {
+            "cam0": {
+                "camera_matrix": [400.0, 400.0, 320.0, 240.0],
+                "distortion_coeffs": [0.0, 0.0, 0.0, 0.0],
+            },
+            "camRect0": {"camera_matrix": [400.0, 400.0, 320.0, 240.0]},
+            "camRect1": {"camera_matrix": [400.0, 400.0, 320.0, 240.0]},
+        },
+        "extrinsics": {
+            "R_rect0": np.eye(3).tolist(),
+            "R_rect1": np.eye(3).tolist(),
+            "T_10": np.eye(4).tolist(),
+        },
+    }
+    with open(cal_dir / "cam_to_cam.yaml", "w") as f:
+        yaml.safe_dump(cam, f)
+
+    # official eval windows: [ts[j-2], ts[j]] at j = 10, 20, 30
+    with open(eval_dir / f"{seq}.csv", "w") as f:
+        f.write("# from_timestamp_us, to_timestamp_us, file_index\n")
+        for j in (10, 20, 30):
+            f.write(f"{img_ts[j - 2]}, {img_ts[j]}, {j}\n")
+    return root, seq
+
+
 def make_ecd_tree(root, seed=4):
     """Minimal ECD sequence: events.txt, images.txt, images/.
 

@@ -1,0 +1,128 @@
+"""Tests for the DSEC extended-eval timestamp generator.
+
+The reference vendors the authors' extended (continuous 100 ms) eval
+timestamp CSVs as data assets (docs/assets/dsec_extended_evals/*.csv);
+we ship a generator that reconstructs them from the official DSEC eval
+CSV + image timestamps instead. Covered here:
+
+- structural unit tests on synthetic sequences (contiguous + gapped), and
+- bit-exact reproduction of all 7 vendored author files (skipped when the
+  reference checkout is absent).
+"""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from eincm_tpu.tools.dsec_extended_evals import (
+    extend_eval_timestamps,
+    main as extend_main,
+    write_extended_csv,
+)
+
+REF_EVAL_DIR = Path("/root/reference/docs/assets/dsec_extended_evals")
+
+
+def make_sequence(n_images=61, seed=0):
+    """20 fps image timestamps with jitter + the official eval rows."""
+    rng = np.random.default_rng(seed)
+    ts = 10_000_000 + np.cumsum(
+        rng.integers(49_900, 50_100, n_images)
+    ).astype(np.int64)
+    # official windows: 100 ms (2 images) at 500 ms (10 image) intervals
+    off_idx = np.arange(10, n_images, 10, dtype=np.int64)
+    official = np.stack([ts[off_idx - 2], ts[off_idx], off_idx], axis=1)
+    return ts, official
+
+
+class TestExtendSynthetic:
+    def test_contiguous_fill(self):
+        ts, official = make_sequence()
+        ext = extend_eval_timestamps(official, ts)
+        # 5 windows per official interval + the first official row
+        assert len(ext) == 5 * (len(official) - 1) + 1
+        # every 5th row recovers the officials (the scores.txt subset rule)
+        np.testing.assert_array_equal(ext[::5], official)
+        # windows chain: to of row n == from of row n+1, indices step 2
+        assert np.array_equal(ext[:-1, 1], ext[1:, 0])
+        assert np.array_equal(np.diff(ext[:, 2]), np.full(len(ext) - 1, 2))
+        # boundaries are actual image timestamps
+        np.testing.assert_array_equal(ext[:, 1], ts[ext[:, 2]])
+        np.testing.assert_array_equal(ext[:, 0], ts[ext[:, 2] - 2])
+
+    def test_gap_gets_preceding_fills_only(self):
+        ts, official = make_sequence()
+        # drop two officials -> an index gap of 30 between neighbors
+        official = np.delete(official, [2, 3], axis=0)
+        ext = extend_eval_timestamps(official, ts)
+        # every official still contributes itself + 4 preceding windows
+        assert len(ext) == 5 * (len(official) - 1) + 1
+        d = np.diff(ext[:, 2])
+        # exactly one discontinuity, of 30 - 8 (the 4 fills stay adjacent
+        # to their official on the far side of the gap)
+        assert sorted(set(d.tolist())) == [2, 22]
+        assert np.sum(d != 2) == 1
+
+    def test_cli_roundtrip(self, tmp_path):
+        ts, official = make_sequence()
+        ts_path = tmp_path / "timestamps.txt"
+        np.savetxt(ts_path, ts, fmt="%d")
+        official_path = tmp_path / "seq.csv"
+        write_extended_csv(official, official_path)  # same 3-column format
+        out = extend_main(
+            [
+                "--eval_ts_path", str(official_path),
+                "--image_ts_path", str(ts_path),
+            ]
+        )
+        assert out == tmp_path / "seq_.csv"
+        # parses exactly like the loader does (data/dsec.py:141-144)
+        back = np.loadtxt(
+            out, delimiter=",", skiprows=1, dtype=np.int64, ndmin=2
+        )
+        np.testing.assert_array_equal(
+            back, extend_eval_timestamps(official, ts)
+        )
+
+
+@pytest.mark.skipif(
+    not REF_EVAL_DIR.is_dir(), reason="reference checkout not present"
+)
+class TestReproduceAuthorFiles:
+    """The generator must reproduce the authors' vendored CSVs bit-exactly.
+
+    The official CSV and timestamps.txt are not vendored (they ship with the
+    dataset), so both are reconstructed from the extended file itself:
+    officials are every 5th row of each contiguous run (post-gap runs start
+    with their 4 fill windows), and each row pins the image timestamps at
+    its two even boundary indices.
+    """
+
+    @pytest.mark.parametrize(
+        "name", sorted(p.name for p in REF_EVAL_DIR.glob("*.csv"))
+        if REF_EVAL_DIR.is_dir() else [],
+    )
+    def test_bit_exact(self, name):
+        rows = np.loadtxt(
+            REF_EVAL_DIR / name, delimiter=",", skiprows=1,
+            dtype=np.int64, ndmin=2,
+        )
+        idx = rows[:, 2]
+        starts = [0] + [
+            i for i in range(1, len(rows)) if idx[i] - idx[i - 1] != 2
+        ]
+        bounds = starts + [len(rows)]
+        official = np.concatenate(
+            [
+                rows[(s if k == 0 else s + 4): bounds[k + 1]: 5]
+                for k, s in enumerate(starts)
+            ]
+        )
+        ts = np.zeros(idx.max() + 3, np.int64)
+        ts[rows[:, 2]] = rows[:, 1]
+        frm = rows[:, 2] - 2
+        ts[frm] = np.where(ts[frm] == 0, rows[:, 0], ts[frm])
+
+        gen = extend_eval_timestamps(official, ts)
+        np.testing.assert_array_equal(gen, rows)

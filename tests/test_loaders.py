@@ -112,6 +112,58 @@ class TestDSECLoader:
         # event times restored to absolute microseconds
         assert s["events"]["t"].min() >= 1_000_000
 
+    def test_contract_test_split_extended(self, tmp_path):
+        """Test split + the extended (continuous) eval timestamps, with the
+        `{seq}_.csv` produced by the shipped generator rather than vendored
+        (reference: src/experiments/e00/README.md 'DSEC Extended
+        Evaluations', dsec_loader.py:128)."""
+        from dataset_fixtures import make_dsec_test_tree
+        from eincm_tpu.data.dsec import DSECDataLoader
+        from eincm_tpu.tools.dsec_extended_evals import main as ext_main
+
+        root, seq = make_dsec_test_tree(tmp_path / "dsec")
+
+        # without the {seq}_.csv on disk the loader reconstructs the
+        # extended timestamps in memory from the official CSV
+        dl_auto = DSECDataLoader(
+            root, seq, des_n_events=1000, data_split="test", extended=True
+        )
+        dl_auto.get_ready()
+
+        out = ext_main(["--root_dir", str(root), "--sequence_name", seq])
+        assert out.name == f"{seq}_.csv"
+
+        dl = DSECDataLoader(root, seq, des_n_events=1000, data_split="test")
+        dl.get_ready()
+        dle = DSECDataLoader(
+            root, seq, des_n_events=1000, data_split="test", extended=True
+        )
+        dle.get_ready()
+
+        assert len(dl) == 3
+        # 4 in-between 100 ms windows per official 500 ms interval
+        assert len(dle) == 5 * (len(dl) - 1) + 1
+        # the in-memory reconstruction equals the generated file exactly
+        np.testing.assert_array_equal(dl_auto.eval_ts_us, dle.eval_ts_us)
+        # the scores.txt [::5] subset rule recovers the official windows
+        np.testing.assert_array_equal(dle.eval_ts_us[::5], dl.eval_ts_us)
+        # continuous chaining, boundaries at actual image timestamps
+        np.testing.assert_array_equal(
+            dle.eval_ts_us[:-1, 1], dle.eval_ts_us[1:, 0]
+        )
+        np.testing.assert_array_equal(
+            dle.eval_ts_us[:, 1], dl.l_image_ts_us[dle.eval_ts_us[:, 2]]
+        )
+
+        s = dle[1]  # an in-between window only the extended mode has
+        for k in ["events", "images", "image_ts", "eval_ts_us", "file_idx",
+                  "n_event_deficiency", "orig_n_events"]:
+            assert k in s, k
+        assert "flow_gt" not in s  # test split ships no ground truth
+        assert s["file_idx"] == dle.eval_ts_us[1, 2]
+        assert len(s["events"]["x"]) == 1000
+        assert len(s["images"]) == 3  # i0..i1 inclusive over a 2-image span
+
     def test_identity_undistortion(self, dsec_root):
         from eincm_tpu.data.dsec import DSECDataLoader
 
