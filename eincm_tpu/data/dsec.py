@@ -151,7 +151,7 @@ class DSECDataLoader:
                 )
 
                 official = np.loadtxt(
-                    p.with_name(p.name.replace("_.csv", ".csv")),
+                    p.with_name(p.name.removesuffix("_.csv") + ".csv"),
                     delimiter=",", skiprows=1, dtype="int64", ndmin=2,
                 )
                 self.eval_ts_us = extend_eval_timestamps(

@@ -97,6 +97,16 @@ class TestReproduceAuthorFiles:
     officials are every 5th row of each contiguous run (post-gap runs start
     with their 4 fill windows), and each row pins the image timestamps at
     its two even boundary indices.
+
+    LIMITATION: bit-exactness is therefore verified modulo that inference
+    (backed by the reference's scores[::5] subset rule, exp_mgr.py:706-714,
+    and the run-length phase structure of the vendored files), not against
+    real DSEC inputs. With a real DSEC checkout, run the generator on the
+    actual official {seq}.csv + images/timestamps.txt and diff against the
+    vendored file:
+        python -m eincm_tpu.tools.dsec_extended_evals \
+            --root_dir <dsec_root> --sequence_name <seq> --out <tmp.csv>
+        diff <tmp.csv> docs/assets/dsec_extended_evals/<seq>_.csv
     """
 
     @pytest.mark.parametrize(
