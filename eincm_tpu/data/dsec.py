@@ -180,7 +180,11 @@ class DSECDataLoader:
                     self.l_events["t"], self.l_events["p"],
                     self.rectify_map, (self.height, self.width),
                 )
-                self.l_events = {"x": ox, "y": oy, "t": ot, "p": op}
+                # native ingest returns p as uint8; the datasample contract
+                # (and the reference, dsec_loader.py:97) is bool
+                self.l_events = {
+                    "x": ox, "y": oy, "t": ot, "p": op.astype(bool),
+                }
                 return
         except Exception:
             pass

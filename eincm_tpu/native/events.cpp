@@ -72,10 +72,12 @@ int64_t rectify_filter_events(const uint16_t* x, const uint16_t* y,
     int64_t c = 0;
     for (int64_t i = lo; i < hi; ++i) {
       const float* m = map + (static_cast<int64_t>(y[i]) * width + x[i]) * 2;
-      // llround matches numpy rint for the .5 cases that occur in practice
-      // (rectified coords are generic floats; exact ties are measure-zero)
-      long rx = std::lround(m[0]);
-      long ry = std::lround(m[1]);
+      // numpy rounds half to even (np.round, dsec_loader.py:153-154);
+      // std::rint under the default FE_TONEAREST mode matches exactly —
+      // lround (half away from zero) does NOT: real rectify maps do land
+      // on exact .5 (caught by the warped-geometry loader parity harness)
+      long rx = static_cast<long>(std::rint(m[0]));
+      long ry = static_cast<long>(std::rint(m[1]));
       bool ok = rx >= 0 && rx < width && ry >= 0 && ry < height;
       keep[static_cast<size_t>(i)] = ok;
       rxs[static_cast<size_t>(i)] = static_cast<int16_t>(rx);

@@ -9,13 +9,26 @@ the real CLI can run SOLVE -> EVAL -> PLOT -> submission export against it.
 import numpy as np
 
 
-def make_mvsec_tree(root, seed=0):
-    """Minimal MVSEC outdoor_day2 tree: hdf5 data + Flow GT npz."""
+def make_mvsec_tree(root, seed=0, sequence="outdoor_day2", polarity="01",
+                    gt_mode="const", gt_margin=0.0):
+    """Minimal MVSEC tree: hdf5 data + Flow GT npz.
+
+    polarity="01" writes 0/1 polarities (historical default); "pm1" writes
+    the real MVSEC -1/+1 encoding (exercises the documented loader
+    deviation: reference `.astype(bool)` maps -1 to True, ours keeps the
+    sign via `> 0`). gt_mode="varying" writes a smooth spatially-varying GT
+    flow with an exact-zero patch, so GT temporal propagation exercises the
+    remap gather AND the zero-flow mask path (mvsec_loader.py:426-427).
+    gt_margin > 0 keeps the GT timestamp span strictly inside the image
+    span, like real MVSEC — required by the reference loader, whose
+    prune_data indexes image_ts[idx_stop_images] unguarded
+    (mvsec_loader.py:221) and crashes when GT reaches the last image."""
     import h5py
 
+    base = sequence[:-1]
     rng = np.random.default_rng(seed)
-    (root / "hdf5/outdoor_day").mkdir(parents=True)
-    (root / "Flow GT/outdoor_day").mkdir(parents=True)
+    (root / f"hdf5/{base}").mkdir(parents=True)
+    (root / f"Flow GT/{base}").mkdir(parents=True)
 
     t0, t1 = 100.0, 104.0
     n_ev = 20000
@@ -23,13 +36,15 @@ def make_mvsec_tree(root, seed=0):
     xs = rng.integers(5, 341, n_ev)  # raw sensor coords (346 wide)
     ys = rng.integers(2, 258, n_ev)
     ps = rng.integers(0, 2, n_ev)
+    if polarity == "pm1":
+        ps = 2 * ps - 1
     events = np.stack([xs, ys, ts, ps], axis=-1).astype(np.float64)
 
     n_img = 42
     img_ts = np.linspace(t0, t1, n_img)
     images = rng.integers(0, 255, (n_img, 260, 346)).astype(np.uint8)
 
-    with h5py.File(root / "hdf5/outdoor_day/outdoor_day2_data.hdf5", "w") as f:
+    with h5py.File(root / f"hdf5/{base}/{sequence}_data.hdf5", "w") as f:
         f["davis/left/events"] = events
         f["davis/left/image_raw"] = images
         f["davis/left/image_raw_event_inds"] = np.searchsorted(ts, img_ts)
@@ -38,18 +53,39 @@ def make_mvsec_tree(root, seed=0):
         f["davis/left/imu_ts"] = np.linspace(t0, t1, 100)
 
     n_gt = 40
-    gt_ts = np.linspace(t0, t1, n_gt)
+    gt_ts = np.linspace(t0 + gt_margin, t1 - gt_margin, n_gt)
+    if gt_mode == "varying":
+        yy, xx = np.meshgrid(np.arange(260), np.arange(346), indexing="ij")
+        fx = 1.5 + np.sin(xx / 40.0) * np.cos(yy / 30.0)
+        fy = -0.5 + np.cos(xx / 35.0) * np.sin(yy / 25.0)
+        fx, fy = fx.copy(), fy.copy()
+        fx[40:70, 60:100] = 0.0  # exact-zero patch -> propagation mask path
+        fy[40:70, 60:100] = 0.0
+        scale = 1.0 + 0.01 * np.arange(n_gt)[:, None, None]
+        x_gt = fx[None] * scale
+        y_gt = fy[None] * scale
+        x_gt[:, 40:70, 60:100] = 0.0
+        y_gt[:, 40:70, 60:100] = 0.0
+    else:
+        x_gt = np.full((n_gt, 260, 346), 1.5)
+        y_gt = np.full((n_gt, 260, 346), -0.5)
     np.savez(
-        root / "Flow GT/outdoor_day/outdoor_day2_gt_flow_dist.npz",
+        root / f"Flow GT/{base}/{sequence}_gt_flow_dist.npz",
         timestamps=gt_ts,
-        x_flow_dist=np.full((n_gt, 260, 346), 1.5),
-        y_flow_dist=np.full((n_gt, 260, 346), -0.5),
+        x_flow_dist=x_gt,
+        y_flow_dist=y_gt,
     )
     return root
 
 
-def make_dsec_tree(root, seed=1):
-    """Minimal DSEC train-split tree with identity geometry.
+def make_dsec_tree(root, seed=1, geometry="identity"):
+    """Minimal DSEC train-split tree.
+
+    geometry="identity" (default): identity rectify map and calibration.
+    geometry="warped": a smooth non-identity rectify map that pushes some
+    border events out of sensor (exercises the round+filter drop path,
+    dsec_loader.py:158-167), real distortion coefficients, and a slightly
+    rotated/translated camera chain (non-identity homography mapping).
 
     Returns (root, sequence_name)."""
     import h5py
@@ -82,23 +118,58 @@ def make_dsec_tree(root, seed=1):
         f["t_offset"] = t_offset
 
     gx, gy = np.meshgrid(np.arange(W), np.arange(H))
-    rect = np.stack([gx, gy], axis=-1).astype(np.float32)  # identity rectify
+    if geometry == "warped":
+        # smooth displacement up to ~4 px; shifts border pixels out of the
+        # sensor so the in-sensor filter actually drops events
+        rect = np.stack(
+            [
+                gx + 4.0 * np.sin(gy / 37.0) - 2.5,
+                gy + 4.0 * np.cos(gx / 53.0) - 2.5,
+            ],
+            axis=-1,
+        ).astype(np.float32)
+    else:
+        rect = np.stack([gx, gy], axis=-1).astype(np.float32)  # identity
     with h5py.File(ev_dir / "rectify_map.h5", "w") as f:
         f["rectify_map"] = rect
+
+    if geometry == "warped":
+        from scipy.spatial.transform import Rotation as _Rot
+
+        dist = [-0.1, 0.02, 0.001, -0.001]
+        R_rect0 = _Rot.from_euler(
+            "xyz", [0.3, -0.2, 0.1], degrees=True
+        ).as_matrix()
+        R_rect1 = _Rot.from_euler(
+            "xyz", [-0.1, 0.25, -0.05], degrees=True
+        ).as_matrix()
+        T_10 = np.eye(4)
+        T_10[:3, :3] = _Rot.from_euler(
+            "xyz", [0.05, -0.4, 0.02], degrees=True
+        ).as_matrix()
+        T_10[:3, 3] = [-0.6, 0.002, 0.01]  # stereo-like baseline
+        cam0_K = [380.0, 382.0, 318.0, 242.0]
+        camr1_K = [398.0, 401.0, 322.0, 238.0]
+    else:
+        dist = [0.0, 0.0, 0.0, 0.0]
+        R_rect0 = R_rect1 = np.eye(3)
+        T_10 = np.eye(4)
+        cam0_K = [400.0, 400.0, 320.0, 240.0]
+        camr1_K = [400.0, 400.0, 320.0, 240.0]
 
     cam = {
         "intrinsics": {
             "cam0": {
-                "camera_matrix": [400.0, 400.0, 320.0, 240.0],
-                "distortion_coeffs": [0.0, 0.0, 0.0, 0.0],
+                "camera_matrix": cam0_K,
+                "distortion_coeffs": dist,
             },
             "camRect0": {"camera_matrix": [400.0, 400.0, 320.0, 240.0]},
-            "camRect1": {"camera_matrix": [400.0, 400.0, 320.0, 240.0]},
+            "camRect1": {"camera_matrix": camr1_K},
         },
         "extrinsics": {
-            "R_rect0": np.eye(3).tolist(),
-            "R_rect1": np.eye(3).tolist(),
-            "T_10": np.eye(4).tolist(),
+            "R_rect0": R_rect0.tolist(),
+            "R_rect1": R_rect1.tolist(),
+            "T_10": T_10.tolist(),
         },
     }
     with open(cal_dir / "cam_to_cam.yaml", "w") as f:
@@ -108,6 +179,11 @@ def make_dsec_tree(root, seed=1):
         np.int64
     )
     np.savetxt(img_dir / "timestamps.txt", img_ts, fmt="%d")
+    # the reference loader reads this unconditionally (dsec_loader.py:116)
+    with open(img_dir / "left/exposure_timestamps.txt", "w") as f:
+        f.write("# exposure_start_timestamp_us, exposure_end_timestamp_us\n")
+        for t in img_ts:
+            f.write(f"{t - 2000}, {t + 2000}\n")
 
     for i in range(4):
         Image.fromarray(
@@ -163,6 +239,11 @@ def make_dsec_test_tree(root, seed=7):
     ).astype(np.int64)
     img_ts = t_offset + img_rel_us
     np.savetxt(img_dir / "timestamps.txt", img_ts, fmt="%d")
+    # the reference loader reads this unconditionally (dsec_loader.py:116)
+    with open(img_dir / "left/exposure_timestamps.txt", "w") as f:
+        f.write("# exposure_start_timestamp_us, exposure_end_timestamp_us\n")
+        for t in img_ts:
+            f.write(f"{t - 2000}, {t + 2000}\n")
     for i in range(n_images):
         Image.fromarray(
             rng.integers(0, 255, (H, W)).astype(np.uint8)

@@ -27,8 +27,7 @@ def test_rectify_filter_matches_numpy():
     y = rng.integers(0, h, n).astype(np.uint16)
     t = np.sort(rng.integers(0, 10**9, n)).astype(np.int64)
     p = rng.integers(0, 2, n).astype(np.uint8)
-    # rectify map with distortion pushing ~20% of events out of the sensor;
-    # offsets avoid exact .5 ties (np.round is half-even, C++ is half-away)
+    # rectify map with distortion pushing ~20% of events out of the sensor
     gy, gx = np.mgrid[0:h, 0:w].astype(np.float32)
     m = np.stack(
         [gx + rng.normal(0, 6, (h, w)).astype(np.float32) + 0.123,
@@ -39,6 +38,29 @@ def test_rectify_filter_matches_numpy():
     ox, oy, ot, op = ne.rectify_filter_events(x, y, t, p, m, (h, w))
     ex, ey, et, ep = _numpy_rectify(x, y, t, p, m, (h, w))
     assert len(ox) == len(ex) and len(ox) < n  # some events dropped
+    np.testing.assert_array_equal(ox, ex)
+    np.testing.assert_array_equal(oy, ey)
+    np.testing.assert_array_equal(ot, et)
+    np.testing.assert_array_equal(op, ep)
+
+
+def test_rectify_half_tie_rounding_matches_numpy():
+    """Exact .5 coordinates must round half-to-EVEN like np.round
+    (dsec_loader.py:153-154): 0.5 -> 0, 1.5 -> 2, 2.5 -> 2, -0.5 -> 0.
+    Real rectify maps do land on exact halves (caught by the warped-geometry
+    loader parity harness; C++ rint under FE_TONEAREST matches, lround did
+    not)."""
+    h, w = 6, 8
+    n = w  # one event per column of row 0
+    x = np.arange(w, dtype=np.uint16)
+    y = np.zeros(n, np.uint16)
+    t = np.arange(n, dtype=np.int64)
+    p = np.ones(n, np.uint8)
+    gy, gx = np.mgrid[0:h, 0:w].astype(np.float32)
+    m = np.stack([gx - 0.5, gy + 0.5], axis=-1)  # every coord an exact tie
+
+    ox, oy, ot, op = ne.rectify_filter_events(x, y, t, p, m, (h, w))
+    ex, ey, et, ep = _numpy_rectify(x, y, t, p, m, (h, w))
     np.testing.assert_array_equal(ox, ex)
     np.testing.assert_array_equal(oy, ey)
     np.testing.assert_array_equal(ot, et)
