@@ -1,7 +1,8 @@
 """Driver benchmark: solve latency + warp+splat throughput on the real TPU.
 
-Prints TWO JSON lines, one metric each; the driver parses the LAST line:
-    {"metric": "window_solve_p50", ...}          (informational)
+Prints THREE JSON lines, one metric each; the driver parses the LAST line:
+    {"metric": "window_solve_p50", ...}          (informational, MVSEC scale)
+    {"metric": "dsec_window_solve_p50", ...}     (informational, DSEC scale)
     {"metric": "warp_splat_throughput", ...}     (headline, parsed)
 
 Baselines (BASELINE.md): >= 50 Mevents/s/chip warp + IWE accumulate;
@@ -45,6 +46,12 @@ def measure_solve_latency():
     return float(np.median(samples) * 1e3)
 
 
+def solve_diag_str_for(res):
+    from eincm_tpu.utils.benchmarks import solve_diag_str
+
+    return solve_diag_str(res)
+
+
 def main():
     solve_ms = measure_solve_latency()
     print(
@@ -59,6 +66,36 @@ def main():
         ),
         flush=True,
     )
+
+    # DSEC-scale chained window solve (full production tuning) —
+    # informational, VERDICT r3 item 4: the 1.8-2.35 s/window claim must be
+    # reproducible from this one command and tracked round over round.
+    # Opt out with EINCM_BENCH_SKIP_DSEC_SOLVE=1 (cold compile through the
+    # relay is minutes; the persistent .jax_cache amortizes it across runs).
+    if os.environ.get("EINCM_BENCH_SKIP_DSEC_SOLVE", "0") != "1":
+        from eincm_tpu.utils.benchmarks import build_dsec_solve_bench
+
+        one_round_dsec, dsec_res = build_dsec_solve_bench()
+        print(
+            f"# dsec solve diag: {solve_diag_str_for(dsec_res)}",
+            file=sys.stderr,
+        )
+        dsec_samples = [one_round_dsec() for _ in range(2)]
+        dsec_ms = float(np.median(dsec_samples) * 1e3)
+        print(
+            json.dumps(
+                {
+                    "metric": "dsec_window_solve_p50",
+                    "value": round(dsec_ms, 0),
+                    "unit": "ms",
+                    # no driver target for DSEC-scale solve; report the
+                    # round-3 self-measured 1.8-2.35 s/window band midpoint
+                    # as the comparison point
+                    "vs_baseline": round(2075.0 / dsec_ms, 2),
+                }
+            ),
+            flush=True,
+        )
 
     # DSEC-scale warp+splat workload — ONE shared definition with the
     # paired A/B script (eincm_tpu.utils.benchmarks.build_dsec_throughput_bench)

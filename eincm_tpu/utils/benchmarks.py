@@ -162,6 +162,91 @@ DSEC_N_EVENTS = 1_500_000
 DSEC_N_REFS = 2
 
 
+def build_dsec_solve_bench(
+    n_windows: int = 4,
+    rotate_deg: float = 15.0,
+    splat_impl: str = "pallas_banded2d",
+):
+    """Build the DSEC-scale chained-window solve benchmark (full production
+    tuning, run.sh:99-121: 480x640, 1.5M events/window, alpha=2000
+    beta=4000, growing maxiters 40..10, extra attempts at levels 0/1,
+    handover solved at level 0, tile-sorted staging for the 2-D banded
+    splat kernel).
+
+    Same steady-state honesty rationale as the MVSEC harness (module
+    docstring): the GT velocity rotates per window so every measured solve
+    adapts a genuinely-off prior. Returns ``(one_round, res)`` where
+    ``one_round()`` solves windows 1..n_windows-1 as a handover chain from
+    window 0's solved seed and returns seconds per window.
+    """
+    from eincm_tpu.data.staging import stage_datasample
+    from eincm_tpu.data.synthetic import SyntheticDataLoader
+    from eincm_tpu.experiments.config import EdgeConfig
+    from eincm_tpu.models.loss import LossParams
+    from eincm_tpu.models.pyramid import (
+        HandoverSettings,
+        SolverConfig,
+        make_window_solver,
+    )
+    from eincm_tpu.ops.splat import set_splat_impl
+
+    set_splat_impl(splat_impl)
+    edge_fn = EdgeConfig(
+        enable_image_preprocessing=False, smoothen_method="eincm_iedt"
+    ).make_edge_fn()
+
+    speed = 7.2  # |V| px/window, the dsec_scale_parity.py magnitude
+    phi0 = np.arctan2(-4.0, 6.0)
+    staged = []
+    for k in range(n_windows):
+        phi = phi0 + np.deg2rad(rotate_deg) * k
+        dl = SyntheticDataLoader(
+            sensor_size=(DSEC_H, DSEC_W),
+            n_windows=1,
+            des_n_events=DSEC_N_EVENTS,
+            velocity=(speed * np.cos(phi), speed * np.sin(phi)),
+            n_features=700,
+            seed=3 + k,
+        )
+        dl.get_ready()
+        staged.append(
+            stage_datasample(
+                dl[0], edge_fn=edge_fn, preprocess=False,
+                pad_to=DSEC_N_EVENTS, sort_by_tile=True,
+            ).window
+        )
+
+    cfg = SolverConfig(
+        n_pyr_lvls=5,
+        sensor_size=(DSEC_H, DSEC_W),
+        params=LossParams(alpha=2000.0, beta=4000.0, gamma=0.0, delta=0.0),
+        theta_opt_maxiters=(40, 33, 25, 18, 10),
+        theta_gtol=1e-4,
+        n_extra_attempts={0: 1, 1: 1},
+        handover=HandoverSettings(
+            use_handover=True, solve_handover_for_levels=(0,)
+        ),
+    )
+    solver = make_window_solver(cfg)
+
+    res0 = solver(staged[0], cfg.zero_pyramid(), is_first=True)
+    float(res0.final_theta_pyr[0].sum())
+    res = solver(staged[1], res0.final_theta_pyr, is_first=False)
+    float(res.final_theta_pyr[0].sum())
+    seed_pyr = res0.final_theta_pyr
+
+    def one_round() -> float:
+        prior = seed_pyr
+        t0 = time.perf_counter()
+        for k in range(1, n_windows):
+            r = solver(staged[k], prior, is_first=False)
+            prior = r.final_theta_pyr
+        float(prior[0].sum())  # one sync per round
+        return (time.perf_counter() - t0) / (n_windows - 1)
+
+    return one_round, res
+
+
 def build_dsec_throughput_bench(
     interp_impl: str | None = None,
     splat_impl: str = "pallas_banded2d",

@@ -69,55 +69,13 @@ def interp_kernel_timing():
 
 
 def dsec_solve_timing():
-    """3-window DSEC-scale chained solve, production tuning, per-window s."""
-    from eincm_tpu.data.staging import stage_datasample
-    from eincm_tpu.data.synthetic import SyntheticDataLoader
-    from eincm_tpu.experiments.config import EdgeConfig
-    from eincm_tpu.models.loss import LossParams
-    from eincm_tpu.models.pyramid import (
-        HandoverSettings,
-        SolverConfig,
-        make_window_solver,
-    )
-    from eincm_tpu.ops.splat import set_splat_impl
+    """Chained DSEC-scale solves, production tuning — ONE shared workload
+    with bench.py's dsec_window_solve_p50 (utils/benchmarks.py)."""
+    from eincm_tpu.utils.benchmarks import build_dsec_solve_bench, solve_diag_str
 
-    set_splat_impl("pallas_banded2d")
-    n_ev = 1_500_000
-    dl = SyntheticDataLoader(
-        sensor_size=(H, W), n_windows=4, des_n_events=n_ev,
-        velocity=(6.0, -4.0), n_features=700, seed=3,
-    )
-    dl.get_ready()
-    edge_fn = EdgeConfig(
-        enable_image_preprocessing=False, smoothen_method="eincm_iedt"
-    ).make_edge_fn()
-    staged = [
-        stage_datasample(
-            dl[i], edge_fn=edge_fn, preprocess=False, pad_to=n_ev,
-            sort_by_tile=True,
-        ).window
-        for i in range(4)
-    ]
-    cfg = SolverConfig(
-        n_pyr_lvls=5,
-        sensor_size=(H, W),
-        params=LossParams(alpha=2000.0, beta=4000.0, gamma=0.0, delta=0.0),
-        theta_opt_maxiters=(40, 33, 25, 18, 10),
-        theta_gtol=1e-4,
-        n_extra_attempts={0: 1, 1: 1},
-        handover=HandoverSettings(
-            use_handover=True, solve_handover_for_levels=(0,)
-        ),
-    )
-    solver = make_window_solver(cfg)
-    res = solver(staged[0], cfg.zero_pyramid(), is_first=True)
-    float(res.final_theta_pyr[0].sum())
-    times = []
-    for k in (1, 2, 3):
-        t0 = time.perf_counter()
-        res = solver(staged[k], res.final_theta_pyr, is_first=False)
-        float(res.final_theta_pyr[0].sum())
-        times.append(time.perf_counter() - t0)
+    one_round, res = build_dsec_solve_bench()
+    print(f"# dsec solve diag: {solve_diag_str(res)}", file=sys.stderr)
+    times = [one_round() for _ in range(3)]
     print("dsec_window_solve_s: " + ", ".join(f"{t:.2f}" for t in times))
 
 
