@@ -37,8 +37,7 @@ from eincm_tpu.evals.flow_metrics import sparse_flow_error
 from eincm_tpu.models.objectives import per_pix_theta_to_flow  # noqa: F401
 
 
-@partial(jax.jit, static_argnames=("sensor_size", "has_gt", "has_mask"))
-def _eval_bundle(
+def _eval_bundle_impl(
     theta_array: jax.Array,
     xs: jax.Array,
     ys: jax.Array,
@@ -105,6 +104,88 @@ def _eval_bundle(
             pred_flow, gt_flow, err_mask if has_mask else None
         )
     return small, objs
+
+
+_eval_bundle = partial(
+    jax.jit, static_argnames=("sensor_size", "has_gt", "has_mask")
+)(_eval_bundle_impl)
+
+
+def eval_window_small(
+    theta_coarse: jax.Array,
+    xs: jax.Array,
+    ys: jax.Array,
+    ts: jax.Array,
+    edges: jax.Array,
+    edge_ts: jax.Array,
+    gt_flow: jax.Array,
+    err_mask: jax.Array,
+    pvec: jax.Array,
+    sensor_size: Tuple[int, int],
+    has_gt: bool,
+    has_mask: bool,
+    upscale_method: str,
+):
+    """Single-window evaluation returning ONLY the small host bundle.
+
+    Building block of the sharded batch eval (parallel.batch.
+    eval_batch_sharded): takes the solver's COARSE level-0 theta and
+    upscales on device (smaller host->device transfers than shipping
+    full-sensor thetas), computes the window statics inline (each window is
+    evaluated once in batch mode, so there is nothing to hoist), and drops
+    the large per-event objective arrays before they can stack across the
+    window axis.
+    """
+    from eincm_tpu.ops.resize import scale_theta_to_sensor_size
+
+    theta_full = scale_theta_to_sensor_size(
+        theta_coarse, sensor_size, upscale_method
+    )
+    wstat = compute_window_statics(xs, ys, edges, sensor_size)
+    small, _ = _eval_bundle_impl(
+        theta_full, xs, ys, ts, edges, edge_ts, gt_flow, err_mask,
+        pvec, wstat, sensor_size, has_gt, has_mask,
+    )
+    return small
+
+
+def format_eval_result(
+    small: Dict, sensor_size: Tuple[int, int], has_gt: bool
+) -> Tuple[str, str, Dict]:
+    """Build the reference-parity strings + `evals` dict from one window's
+    host-resident small bundle (theta_eval.py:44-93). Mutates `small` (pops
+    flow_errors) — pass a per-window copy."""
+    evals: Dict = {}
+    acc_eval_str = ""
+    if has_gt:
+        fe = small.pop("flow_errors")
+        evals.update({k: v for k, v in fe["errors"].items()})
+        evals.update({k: v for k, v in fe["counts"].items()})
+        evals["n_pixels"] = sensor_size[0] * sensor_size[1]
+        e, c = fe["errors"], fe["counts"]
+        acc_eval_str = (
+            f', AEE(↓): {float(e["AEE"]):8.6f}, AREE(↓): {float(e["AREE"]):8.6f}, '
+            + ", ".join(
+                f'A{n}PE(↓): {float(e[f"A{n}PE"]):8.6f}' for n in (1, 2, 3, 5, 10, 20)
+            )
+            + f', | n_pixels:{evals["n_pixels"]:,}, n_gt_mask:{int(c["n_gt"]):,}, '
+            + f'n_event_mask:{int(c["n_pred"]):,}, n_ee: {int(c["n_ee"]):,}\n'
+        )
+
+    time_str = f'[{time.strftime("%Y-%m-%d %H:%M:%S")}]'
+    eval_str = (
+        f'total_loss(↓): {float(small["loss"]):8.6f}, '
+        f'iwe_var(↑): {float(small["iwe_var"]):8.6f}, '
+        f'mean_rel_contrast(↑): {float(small["mean_rel_contrast"]):8.6f}, '
+        f'mean_rel_corr(↑): {float(small["mean_rel_corr"]):8.6f}, '
+        f'theta_tot_var(↓): {float(small["theta_tot_var"]):8.6f}, '
+        f'theta_div(↓): {float(small["theta_div"]):8.6f}, '
+        f'mean_rel_iwe_div(↓): {float(small["mean_rel_iwe_div"]):8.6f}, '
+        f'FWL(↑): {float(small["fwl"]):8.6f}'
+        f"{acc_eval_str}"
+    )
+    evals.update(small)
+    return time_str, eval_str, evals
 
 
 def _bucket_pad_events(eval_xs, eval_ys, eval_ts, dtype):
@@ -198,36 +279,5 @@ def evaluate_theta_array(
     )
     # ONE host transfer for the whole (small) bundle
     small = jax.device_get(small)
-
-    evals: Dict = {}
-    acc_eval_str = ""
-    if has_gt:
-        fe = small.pop("flow_errors")
-        evals.update({k: v for k, v in fe["errors"].items()})
-        evals.update({k: v for k, v in fe["counts"].items()})
-        evals["n_pixels"] = sensor_size[0] * sensor_size[1]
-        e, c = fe["errors"], fe["counts"]
-        acc_eval_str = (
-            f', AEE(↓): {float(e["AEE"]):8.6f}, AREE(↓): {float(e["AREE"]):8.6f}, '
-            + ", ".join(
-                f'A{n}PE(↓): {float(e[f"A{n}PE"]):8.6f}' for n in (1, 2, 3, 5, 10, 20)
-            )
-            + f', | n_pixels:{evals["n_pixels"]:,}, n_gt_mask:{int(c["n_gt"]):,}, '
-            + f'n_event_mask:{int(c["n_pred"]):,}, n_ee: {int(c["n_ee"]):,}\n'
-        )
-
-    time_str = f'[{time.strftime("%Y-%m-%d %H:%M:%S")}]'
-    eval_str = (
-        f'total_loss(↓): {float(small["loss"]):8.6f}, '
-        f'iwe_var(↑): {float(small["iwe_var"]):8.6f}, '
-        f'mean_rel_contrast(↑): {float(small["mean_rel_contrast"]):8.6f}, '
-        f'mean_rel_corr(↑): {float(small["mean_rel_corr"]):8.6f}, '
-        f'theta_tot_var(↓): {float(small["theta_tot_var"]):8.6f}, '
-        f'theta_div(↓): {float(small["theta_div"]):8.6f}, '
-        f'mean_rel_iwe_div(↓): {float(small["mean_rel_iwe_div"]):8.6f}, '
-        f'FWL(↑): {float(small["fwl"]):8.6f}'
-        f"{acc_eval_str}"
-    )
-
-    evals.update(small)
+    time_str, eval_str, evals = format_eval_result(small, sensor_size, has_gt)
     return time_str, eval_str, evals, loss_obj

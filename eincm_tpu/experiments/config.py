@@ -231,6 +231,13 @@ class PhaseSettings:
     # eval-during-solve callback (src/eincm/callbacks.py:140-149); requires
     # solver.collect_intermediate
     eval_intermediate: bool = False
+    # shard the EVAL phase over the device mesh (windows are independent at
+    # eval time — no prior chain); falls back to serial when
+    # eval_intermediate is set (per-iterate trajectories stay serial)
+    parallel_eval: bool = False
+    # windows evaluated per device per sharded dispatch (bounds device
+    # memory for DSEC-extended-scale sequences)
+    parallel_eval_windows_per_device: int = 4
 
 
 @dataclass

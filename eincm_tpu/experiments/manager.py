@@ -539,6 +539,15 @@ class EINCMExperiment:
             loader = EINCMOutputLoader()
             self.opt_results = loader.load_opt_results(opt_results_path)
         assert self.opt_results, "no opt_results in memory or on disk"
+        if self.cfg.phases.parallel_eval:
+            if self.cfg.phases.eval_intermediate:
+                warn(
+                    "phases.parallel_eval ignores eval_intermediate "
+                    "(per-iterate trajectories evaluate serially); running "
+                    "the serial eval path"
+                )
+            else:
+                return self.run_eval_parallel()
         dl = self._prepare_dataloader()
         indices = sorted(
             int(k.replace("datasample_idx_", "")) for k in self.opt_results
@@ -609,6 +618,164 @@ class EINCMExperiment:
         )
         scores = self.extract_scores()
         self.write_scores(scores)
+        return self.eval_results
+
+    def _hood_mask(self):
+        if (
+            self.cfg.dataset.kind == "mvsec"
+            and self.cfg.dataset.sequence_name == "outdoor_day1"
+        ):
+            # car-hood mask: rows >= 190 excluded (exp_mgr.py:429-432)
+            mask = np.ones(tuple(self.cfg.dataset.sensor_size), bool)
+            mask[190:] = False
+            return mask
+        return None
+
+    def run_eval_parallel(self):
+        """EVAL sharded over the device mesh (VERDICT r3 item 5).
+
+        Windows are independent at eval time (no prior chain), so this is
+        pure data parallelism: staged windows stream through the prefetcher
+        into chunks of n_dev * parallel_eval_windows_per_device, each chunk
+        evaluated in ONE sharded dispatch (parallel.batch.eval_batch_sharded
+        runs each device's windows sequentially via lax.map — identical
+        per-window shapes to the serial path). Reference scope:
+        exp_mgr.py:662-714 (a serial loop).
+        """
+        import jax
+
+        from eincm_tpu.evals.theta_metrics import format_eval_result
+        from eincm_tpu.parallel.batch import eval_batch_sharded, make_window_mesh
+
+        dl = self._prepare_dataloader()
+        indices = sorted(
+            int(k.replace("datasample_idx_", "")) for k in self.opt_results
+        )
+        mesh = make_window_mesh()
+        n_dev = mesh.devices.size
+        chunk = n_dev * max(1, self.cfg.phases.parallel_eval_windows_per_device)
+        sensor = tuple(self.cfg.dataset.sensor_size)
+        pvec = jnp.asarray(
+            [
+                self.cfg.loss_params.alpha,
+                self.cfg.loss_params.beta,
+                self.cfg.loss_params.gamma,
+                self.cfg.loss_params.delta,
+            ],
+            jnp.float32,
+        )
+        mask = self._hood_mask()
+        mask_j = None if mask is None else jnp.asarray(mask)
+
+        des = self.cfg.dataset.des_n_events
+        if not des:
+            raise ValueError(
+                "phases.parallel_eval requires dataset.des_n_events (eval "
+                "event windows must pad to one fixed length to stack/shard)"
+            )
+        pad_e = max(8192, -(-int(des) // 8192) * 8192)
+
+        from eincm_tpu.data.prefetch import StagingPrefetcher
+
+        def flush(chunk_items):
+            idxs = [i for i, _ in chunk_items]
+            staged_list = [s for _, s in chunk_items]
+            b = len(idxs)
+            # pad the batch to a device-count multiple by repeating the
+            # last window (its extra results are discarded)
+            b_pad = -(-b // n_dev) * n_dev
+            staged_list = staged_list + [staged_list[-1]] * (b_pad - b)
+            rep_idxs = idxs + [idxs[-1]] * (b_pad - b)
+
+            def padded_events(s):
+                ev = s.eval_events
+                e = len(ev["x"])
+                if e > pad_e:
+                    raise ValueError(
+                        f"eval window has {e} events > padded capacity "
+                        f"{pad_e} (des_n_events={des})"
+                    )
+                out = np.full((3, pad_e), np.nan, np.float32)
+                out[0, :e] = ev["x"]
+                out[1, :e] = ev["y"]
+                out[2, :e] = ev["t"]
+                return out
+
+            evs = np.stack([padded_events(s) for s in staged_list])
+            theta = np.stack(
+                [
+                    np.asarray(
+                        self.opt_results[f"datasample_idx_{i}"][
+                            "solver_final_results"
+                        ]["final_theta_pyr"]["pyr_lvl_0"],
+                        np.float32,
+                    )
+                    for i in rep_idxs
+                ]
+            )
+            edges = np.stack(
+                [np.asarray(s.window.edges) for s in staged_list]
+            )
+            edge_ts = np.stack(
+                [np.asarray(s.window.edge_ts) for s in staged_list]
+            )
+            has_gt = staged_list[0].gt_flow is not None
+            gt = (
+                np.stack(
+                    [
+                        np.asarray(s.gt_flow, np.float32)
+                        for s in staged_list
+                    ]
+                )
+                if has_gt
+                else None
+            )
+
+            small = eval_batch_sharded(
+                jnp.asarray(theta),
+                jnp.asarray(evs[:, 0]),
+                jnp.asarray(evs[:, 1]),
+                jnp.asarray(evs[:, 2]),
+                jnp.asarray(edges),
+                jnp.asarray(edge_ts),
+                None if gt is None else jnp.asarray(gt),
+                mask_j,
+                pvec,
+                mesh,
+                sensor,
+                self.cfg.solver.scale_theta_to_sensor_size_method,
+            )
+            for i, (idx, staged) in enumerate(zip(idxs, staged_list)):
+                per_win = jax.tree_util.tree_map(lambda a: a[i], small)
+                time_str, eval_str, evals = format_eval_result(
+                    per_win, sensor, has_gt
+                )
+                key = f"datasample_idx_{idx}"
+                self.eval_results[key] = {
+                    "evals": {k: np.asarray(v) for k, v in evals.items()},
+                    "eval_ts": np.asarray(staged.eval_ts),
+                    "eval_ts_units": staged.eval_ts_units,
+                }
+                log(f"{time_str} {key}: {eval_str.strip()}")
+
+        pending = []
+        for idx, staged in StagingPrefetcher(dl, indices, self.stage, depth=2):
+            pending.append((idx, staged))
+            if len(pending) == chunk:
+                flush(pending)
+                pending = []
+        if pending:
+            flush(pending)
+
+        save_eval_results(
+            self.out_dir / "eval_results.npz", self.eval_results, self.cfg.to_dict()
+        )
+        scores = self.extract_scores()
+        self.write_scores(scores)
+        ok(
+            f"parallel eval: {len(indices)} windows over {n_dev} device(s), "
+            f"chunks of {chunk}"
+        )
         return self.eval_results
 
     def _eval_intermediate(self, key, staged, gt, mask, eval_inputs):

@@ -307,6 +307,91 @@ def sequence_shard_solve(
     return res, res.final_theta_pyr
 
 
+def eval_batch_sharded(
+    theta_coarse: jax.Array,
+    xs: jax.Array,
+    ys: jax.Array,
+    ts: jax.Array,
+    edges: jax.Array,
+    edge_ts: jax.Array,
+    gt_flow: Optional[jax.Array],
+    err_mask: Optional[jax.Array],
+    pvec: jax.Array,
+    mesh: Mesh,
+    sensor_size: Tuple[int, int],
+    upscale_method: str = "bilinear",
+):
+    """Evaluate a batch of windows sharded across `mesh` ("windows" axis).
+
+    The EVAL phase's data-parallel path (reference scope:
+    exp_mgr.py:662-714, a serial per-window loop): each device takes
+    batch/n_dev windows and evaluates them sequentially via `lax.map` —
+    like the sharded solver, per-window shapes stay identical to the serial
+    path (no vmapped Pallas kernels), so results match the serial eval.
+    Windows are independent; no collectives.
+
+    Args:
+        theta_coarse: (B, h0, w0, 2) solver-final level-0 thetas (upscaled
+            to sensor size on device).
+        xs/ys/ts: (B, E) NaN-padded eval events, ONE shared pad length.
+        edges/edge_ts: (B, R, H, W) / (B, R).
+        gt_flow: (B, H, W, 2) or None (test splits).
+        err_mask: (H, W) bool or None — replicated (e.g. outdoor_day1 hood).
+        pvec: (4,) loss weights (alpha, beta, gamma, delta).
+
+    Returns:
+        small-bundle pytree with a leading (B,) window axis, on host.
+    """
+    from eincm_tpu.evals.theta_metrics import eval_window_small
+
+    n_dev = mesh.devices.size
+    b = theta_coarse.shape[0]
+    assert b % n_dev == 0, f"batch {b} must divide over {n_dev} devices"
+
+    has_gt = gt_flow is not None
+    has_mask = err_mask is not None
+    if gt_flow is None:
+        gt_flow = jnp.zeros((b, 1, 1, 2), theta_coarse.dtype)
+    if err_mask is None:
+        err_mask = jnp.zeros((1, 1), bool)
+
+    shard = NamedSharding(mesh, P("windows"))
+    rep = NamedSharding(mesh, P())
+    batch = (theta_coarse, xs, ys, ts, edges, edge_ts, gt_flow)
+    batch = jax.tree_util.tree_map(lambda x: jax.device_put(x, shard), batch)
+    err_mask = jax.device_put(err_mask, rep)
+    pvec = jax.device_put(pvec, rep)
+
+    def build():
+        def per_device(local_batch, err_mask_, pvec_):
+            def eval_one(args):
+                th, exs, eys, ets, edg, edg_ts, gt = args
+                return eval_window_small(
+                    th, exs, eys, ets, edg, edg_ts, gt, err_mask_, pvec_,
+                    sensor_size, has_gt, has_mask, upscale_method,
+                )
+
+            return jax.lax.map(eval_one, local_batch)
+
+        specs = P("windows")
+        return jax.jit(
+            jax.shard_map(
+                per_device,
+                mesh=mesh,
+                in_specs=(specs, P(), P()),
+                out_specs=specs,
+                check_vma=False,
+            )
+        )
+
+    fn = _cached_jit(
+        ("eval_batch", sensor_size, has_gt, has_mask, upscale_method),
+        (mesh,),
+        build,
+    )
+    return jax.device_get(fn(batch, err_mask, pvec))
+
+
 def two_pass_sequence_solve(
     cfg: SolverConfig,
     batch: WindowSample,

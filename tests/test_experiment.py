@@ -401,6 +401,38 @@ def test_parallel_windows_mode(tmp_path):
     assert np.mean(aees) < 1.6, aees
 
 
+def test_parallel_eval_matches_serial(tmp_path):
+    """phases.parallel_eval shards the EVAL phase over the 8-device mesh
+    (VERDICT r3 item 5); per-window metrics must match the serial path (same
+    per-window shapes inside lax.map -> same math). 5 windows over 8 devices
+    exercises the repeat-last batch padding."""
+    cfg = tiny_cfg(tmp_path)
+    cfg.dataset.n_windows = 5
+    exp = EINCMExperiment(cfg)
+    exp.run_solver()
+    exp.run_eval()
+    serial = {
+        k: {m: np.asarray(v) for m, v in r["evals"].items()}
+        for k, r in exp.eval_results.items()
+    }
+
+    exp.eval_results = {}
+    exp.cfg.phases.parallel_eval = True
+    exp.run_eval()
+    par = exp.eval_results
+    assert set(par) == set(serial)
+    for k in serial:
+        assert set(par[k]["evals"]) == set(serial[k])
+        for m, v in serial[k].items():
+            np.testing.assert_allclose(
+                np.asarray(par[k]["evals"][m]), v, rtol=2e-5, atol=1e-6,
+                err_msg=f"{k}/{m}",
+            )
+    # artifacts written by the parallel path too
+    assert (exp.out_dir / "eval_results.npz").exists()
+    assert (exp.out_dir / "scores.txt").exists()
+
+
 def test_eval_intermediate_hook(tmp_path):
     """phases.eval_intermediate: every recorded level-0 iterate is evaluated
     against GT (reference callbacks.py:140-149 capability, post-hoc), and the
