@@ -151,6 +151,12 @@ class SolverSettings:
     # quadratic-interpolated backtracking for 'armijo' (scipy
     # scalar_search_armijo); off pending on-hardware A/B validation
     armijo_interpolate: bool = False
+    # opt-in noise-floor termination: end a level after theta_ftol_patience
+    # consecutive iterations with relative loss improvement <= theta_ftol
+    # (skips the exhausted probes + retry re-run that otherwise detect the
+    # f32 noise floor). None = reference retry semantics. See PARITY.md.
+    theta_ftol: Optional[float] = None
+    theta_ftol_patience: int = 2
     # tail safeguard for the armijo default (serial solve path): when a
     # window's level-0 optimum ends worse than simply keeping the prior
     # window's theta (or the solve hit NaN), re-solve that window with
@@ -295,6 +301,8 @@ class ExperimentConfig:
             max_ls_evals=s.max_ls_evals,
             line_search=s.line_search,
             armijo_interpolate=s.armijo_interpolate,
+            theta_ftol=s.theta_ftol,
+            theta_ftol_patience=s.theta_ftol_patience,
             collect_intermediate=s.collect_intermediate
             or self.phases.eval_intermediate,
             progress_heartbeat=s.progress_heartbeat,

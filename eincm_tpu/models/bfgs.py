@@ -41,7 +41,9 @@ class BFGSResult(NamedTuple):
     n_fun_evals: jax.Array  # () int32, loss+grad evaluations
     n_attempts: jax.Array  # () int32, 1 + retries performed
     success: jax.Array  # () bool, gradient sup-norm <= gtol
-    status: jax.Array  # () int32: 0 ok, 1 maxiter, 2 line-search fail, 3 nan
+    # () int32: 0 ok, 1 maxiter, 2 line-search fail, 3 nan,
+    # 4 ftol noise-floor stop (opt-in; counts as terminal, never retried)
+    status: jax.Array
 
 
 class _WolfeState(NamedTuple):
@@ -297,6 +299,7 @@ class _BFGSState(NamedTuple):
     attempt: jax.Array
     n_evals: jax.Array
     status: jax.Array  # -1 = running
+    n_small: jax.Array  # consecutive iterations below the ftol floor
     hist_xs: jax.Array  # (capacity, D) or (0, D)
     hist_fs: jax.Array  # (capacity,) or (0,)
 
@@ -318,6 +321,8 @@ def minimize_bfgs(
     heartbeat_fn: "Callable | None" = None,
     h0: "jax.Array | None" = None,
     return_h_inv: bool = False,
+    ftol: "float | None" = None,
+    ftol_patience: int = 2,
 ):
     """Dense-Hessian BFGS, jittable; semantics follow scipy's 'BFGS'.
 
@@ -349,6 +354,17 @@ def minimize_bfgs(
             resets to identity.
         return_h_inv: also return the final inverse-Hessian (appended last
             to the return tuple) so a caller can chain warm starts.
+        ftol: opt-in noise-floor termination: when the relative loss
+            improvement (f_k - f_{k+1}) / max(|f_k|, |f_{k+1}|, 1) stays
+            <= ftol for `ftol_patience` CONSECUTIVE iterations, stop with
+            status 4 instead of descending into the f32 noise floor — where
+            the line search burns its full probe budget proving no step
+            improves and the extra-attempt retry re-runs the level (the
+            round-3 latency accounting: ~100 of ~185 value probes per MVSEC
+            window are this failure detection). Status 4 is terminal: it is
+            never retried. None (default) preserves exact reference
+            semantics (src/eincm/solver.py:218-239 retry behavior).
+        ftol_patience: consecutive below-floor iterations required.
 
     Returns:
         BFGSResult, with BFGSHistory appended when record_history and the
@@ -422,19 +438,57 @@ def minimize_bfgs(
         gnorm = jnp.max(jnp.abs(g_new))
         nan_hit = ~jnp.isfinite(f_new) | ~jnp.isfinite(gnorm)
         converged = gnorm <= gtol_a
+        if ftol is not None:
+            # acceptance guarantees f_new <= s.f; a failed line search gives
+            # f_new == s.f (improvement exactly 0 <= ftol). An exhausted
+            # search that arrives with the floor already indicated
+            # (n_small >= 1) COMPLETES the patience — it just burned the
+            # full probe budget proving no improving step exists, which is
+            # stronger evidence than another tiny accepted step. An isolated
+            # exhaustion after real progress keeps the normal status-2 retry
+            # path (it may be a curvature breakdown a Hessian reset fixes),
+            # so at most one retry re-run happens per level before the
+            # floor is declared.
+            denom = jnp.maximum(
+                jnp.maximum(jnp.abs(s.f), jnp.abs(f_new)),
+                jnp.asarray(1.0, dtype),
+            )
+            small_step = (s.f - f_new) / denom <= jnp.asarray(ftol, dtype)
+            inc = jnp.where(
+                ls_ok,
+                jnp.int32(1),
+                jnp.where(
+                    s.n_small >= 1, jnp.int32(ftol_patience), jnp.int32(1)
+                ),
+            )
+            n_small = jnp.where(small_step, s.n_small + inc, jnp.int32(0))
+            ftol_stop = n_small >= ftol_patience
+        else:
+            n_small = s.n_small
+            ftol_stop = jnp.bool_(False)
         status = jnp.where(
             nan_hit,
             3,
             jnp.where(
                 converged,
                 0,
-                jnp.where(~ls_ok, 2, jnp.where(k_att >= maxiter, 1, -1)),
+                jnp.where(
+                    ftol_stop,
+                    4,
+                    jnp.where(
+                        ~ls_ok, 2, jnp.where(k_att >= maxiter, 1, -1)
+                    ),
+                ),
             ),
         ).astype(jnp.int32)
 
-        # Retry on any failure (status 1/2/3) with attempts remaining: reset
-        # the Hessian and keep iterating from the current point.
-        retry = (status > 0) & (s.attempt < n_extra_attempts) & (k_att > 0)
+        # Retry on failure (status 1/2/3) with attempts remaining: reset
+        # the Hessian and keep iterating from the current point. The ftol
+        # stop (4) is a deliberate termination, not a failure — no retry.
+        retry = (
+            (status > 0) & (status != 4)
+            & (s.attempt < n_extra_attempts) & (k_att > 0)
+        )
         status = jnp.where(retry, -1, status)
         h_inv = jnp.where(retry, eye, h_inv)
 
@@ -460,6 +514,10 @@ def minimize_bfgs(
             attempt=jnp.where(retry, s.attempt + 1, s.attempt),
             n_evals=s.n_evals + ls_evals,
             status=status,
+            # n_small survives a retry: failure -> Hessian-reset retry ->
+            # failure again is exactly the floor confirmation; any genuinely
+            # improving post-reset step clears it via small_step = False
+            n_small=n_small,
             hist_xs=hist_xs,
             hist_fs=hist_fs,
         )
@@ -482,6 +540,7 @@ def minimize_bfgs(
         attempt=jnp.int32(0),
         n_evals=jnp.int32(1),
         status=jnp.where(jnp.max(jnp.abs(g0)) <= gtol_a, 0, -1).astype(jnp.int32),
+        n_small=jnp.int32(0),
         hist_xs=jnp.zeros((capacity, d), dtype),
         hist_fs=jnp.zeros((capacity,), dtype),
     )

@@ -114,6 +114,15 @@ class SolverConfig:
     # value-only probes per accepted step. Off by default pending a paired
     # on-hardware A/B against the validated halving default.
     armijo_interpolate: bool = False
+    # opt-in noise-floor termination (BFGSResult status 4): stop a level
+    # after theta_ftol_patience consecutive iterations whose relative loss
+    # improvement is <= theta_ftol, skipping the exhausted line search +
+    # extra-attempt re-run that otherwise detect the f32 noise floor the
+    # expensive way. None (default) preserves exact reference retry
+    # semantics (src/eincm/solver.py:218-239). See PARITY.md for the
+    # paired A/B that sets the recommended value.
+    theta_ftol: Optional[float] = None
+    theta_ftol_patience: int = 2
     # record per-iteration (theta, loss) trajectories per level — the
     # on-device equivalent of the reference's collecting solver callbacks
     # (src/eincm/callbacks.py:100-221)
@@ -255,6 +264,8 @@ def _solve_theta_level(
         armijo_interpolate=cfg.armijo_interpolate,
         fun=fun_only,
         heartbeat_fn=heartbeat,
+        ftol=cfg.theta_ftol,
+        ftol_patience=cfg.theta_ftol_patience,
     )
     if cfg.collect_intermediate:
         res, hist = out

@@ -42,6 +42,84 @@ def test_rosenbrock_matches_scipy():
     assert float(res.fun_val) <= sres.fun + 1e-6
 
 
+class TestFtolStop:
+    """Opt-in noise-floor termination (status 4): stop after consecutive
+    below-floor relative improvements, never retried."""
+
+    @staticmethod
+    def _slow(x):
+        # Rosenbrock converges through long stretches of tiny relative
+        # improvement — ideal for tripping a coarse ftol early
+        return (1 - x[0]) ** 2 + 100.0 * (x[1] - x[0] ** 2) ** 2
+
+    def test_stops_early_with_status_4(self):
+        x0 = jnp.array([-1.2, 1.0])
+        base = minimize_bfgs(
+            _fg(self._slow), x0, maxiter=200, gtol=1e-12, fun=self._slow
+        )
+        res = minimize_bfgs(
+            _fg(self._slow), x0, maxiter=200, gtol=1e-12,
+            ftol=1e-3, ftol_patience=2, fun=self._slow,
+        )
+        assert int(res.status) == 4
+        assert int(res.total_iters) < int(base.total_iters)
+        # the stop fires near the optimum, not mid-descent
+        assert float(res.fun_val) < 1e-2
+
+    def test_status4_is_terminal_no_retry(self):
+        x0 = jnp.array([-1.2, 1.0])
+        res = minimize_bfgs(
+            _fg(self._slow), x0, maxiter=200, gtol=1e-12,
+            ftol=1e-3, ftol_patience=2, n_extra_attempts=3, fun=self._slow,
+        )
+        assert int(res.status) == 4
+        assert int(res.n_attempts) == 1  # a deliberate stop never retries
+
+    def test_none_preserves_reference_semantics(self):
+        # identical trajectories with ftol=None vs the pre-ftol behavior:
+        # gtol convergence on the quadratic, same iterate
+        def f(x):
+            return jnp.sum((x - 1.0) ** 2)
+
+        x0 = jnp.zeros(4)
+        a = minimize_bfgs(_fg(f), x0, maxiter=50, gtol=1e-6)
+        b = minimize_bfgs(_fg(f), x0, maxiter=50, gtol=1e-6, ftol=None)
+        np.testing.assert_array_equal(np.asarray(a.x), np.asarray(b.x))
+        assert int(a.status) == int(b.status) == 0
+
+    def test_noise_floor_stops_without_retry(self):
+        # honest model of the f32 noise floor: the VALUE quantizes to a
+        # coarse grid while the GRADIENT stays the analytic one (so gtol
+        # never fires). Descent makes real progress until all probe values
+        # land in one bucket; then the line search exhausts finding no
+        # improving step. Without ftol: status 2 + the extra-attempt retry
+        # re-runs the level. With ftol: the floor is declared (status 4)
+        # and the retry is skipped.
+        q = 0.25
+
+        def f(x):
+            return jnp.round(jnp.sum((x - 1.0) ** 2) / q) * q
+
+        def fg(x):
+            return f(x), 2.0 * (x - 1.0)
+
+        x0 = jnp.array([5.0, -4.0])
+        base = minimize_bfgs(
+            fg, x0, maxiter=40, gtol=1e-10, line_search="armijo", fun=f,
+            max_ls_evals=6, n_extra_attempts=2,
+        )
+        res = minimize_bfgs(
+            fg, x0, maxiter=40, gtol=1e-10, line_search="armijo", fun=f,
+            max_ls_evals=6, n_extra_attempts=2, ftol=1e-9, ftol_patience=2,
+        )
+        assert int(base.status) == 2 and int(base.n_attempts) == 3
+        assert int(res.status) == 4
+        assert int(res.n_attempts) <= 2  # at most one retry before the stop
+        assert int(res.n_fun_evals) < int(base.n_fun_evals)
+        # same quality: both end at the same quantized floor value
+        assert float(res.fun_val) == float(base.fun_val)
+
+
 def test_high_dim_quadratic():
     rng = np.random.default_rng(0)
     d = 64
