@@ -242,6 +242,74 @@ def events_to_pdf_frame(
     return frame
 
 
+_MULTIREF_STACKED = False
+
+
+def set_splat_multiref_stacked(enabled: bool):
+    """Toggle the single-grid stacked multi-ref splat (see
+    `_splat_multi_ref_stacked`). Takes effect at the next trace."""
+    global _MULTIREF_STACKED
+    _MULTIREF_STACKED = bool(enabled)
+
+
+def _splat_multi_ref_stacked(
+    warped_xs: jax.Array,
+    warped_ys: jax.Array,
+    sensor_size: Tuple[int, int],
+    window_size: int,
+    try_col_band: bool,
+    interpret: bool = False,
+) -> jax.Array:
+    """All reference frames in ONE banded-kernel invocation.
+
+    Refs stack vertically into a virtual (R*H + (R-1)*(window_size-1), W)
+    sensor with `window_size - 1` guard rows between frames: ref i's events
+    get their warped rows offset by i*(H + guard), so one kernel call
+    splats every ref, and the guard rows absorb the boundary spill a 3x3
+    window can produce (absorbed rows are discarded by the row gather
+    below, exactly like the per-ref kernel's out-of-sensor drop). Events
+    with no in-sensor contribution (warped row outside (-hw-0.5,
+    H-1+hw+0.5)) are moved to the far sentinel BEFORE offsetting so they
+    cannot leak into a neighboring frame; they contribute nothing and get
+    zero gradient in both formulations.
+
+    Why: the per-ref loop pays the kernel's fixed pipeline warmup/drain
+    and dispatch cost R times (TODO.md multi-ref item: 2-ref fwd 5.6 ms vs
+    2x single-ref 6.8 ms at DSEC scale); stacking pays it once while the
+    banding preconditions survive the frame boundary (each ref's events
+    stay row/tile-sorted, and post-mask rows at the boundary are monotone:
+    ref i ends <= i*(H+guard) + H + 0.5 < (i+1)*(H+guard) - 0.5 <= ref
+    i+1's start).
+
+    One measure-zero boundary caveat: an event at EXACTLY warped row
+    H - 1 + hw + 0.5 is dropped here but half-even-rounds to a partial
+    contribution in the per-ref kernel; float warped coordinates hit the
+    exact boundary with probability ~0 (parity asserted on generic coords
+    in tests/test_splat_pallas.py).
+    """
+    from eincm_tpu.ops.splat_banded import events_to_pdf_frame_pallas_banded
+
+    R, E = warped_xs.shape
+    H, W = sensor_size
+    hw = window_size // 2
+    guard = window_size - 1
+    Hv = R * H + (R - 1) * guard
+    dtype = warped_ys.dtype
+    offs = (jnp.arange(R, dtype=dtype) * (H + guard))[:, None]
+    keep = (warped_ys > -(hw + 0.5)) & (warped_ys < H - 1 + hw + 0.5)
+    sent = jnp.asarray(-1e4, dtype)
+    ys = jnp.where(keep, warped_ys + offs, sent)
+    xs = jnp.where(keep, warped_xs, sent)
+    frame = events_to_pdf_frame_pallas_banded(
+        xs.reshape(-1), ys.reshape(-1), (Hv, W), window_size,
+        try_col_band=try_col_band, interpret=interpret,
+    )
+    rows = (
+        jnp.arange(R)[:, None] * (H + guard) + jnp.arange(H)[None, :]
+    )  # (R, H)
+    return frame[rows]
+
+
 def splat_multi_ref(
     warped_xs: jax.Array,
     warped_ys: jax.Array,
@@ -250,9 +318,10 @@ def splat_multi_ref(
 ) -> jax.Array:
     """(n_refs, E) warped coords -> (n_refs, H, W) IWEs.
 
-    vmap for the grid-batchable kernels; an unrolled loop for the banded
-    kernel (its scalar-prefetch grid spec does not batch under vmap, and
-    n_refs is a small static constant)."""
+    vmap for the grid-batchable kernels; for the banded kernels either an
+    unrolled per-ref loop (its scalar-prefetch grid spec does not batch
+    under vmap, and n_refs is a small static constant) or — with
+    `set_splat_multiref_stacked(True)` — one stacked-grid invocation."""
     f64 = jnp.result_type(warped_xs.dtype, jnp.float32) == jnp.float64
     on_tpu = jax.default_backend() == "tpu" and not f64
     if (
@@ -265,6 +334,10 @@ def splat_multi_ref(
         )
 
         col = _SPLAT_IMPL == "pallas_banded2d"
+        if _MULTIREF_STACKED and warped_xs.shape[0] > 1:
+            return _splat_multi_ref_stacked(
+                warped_xs, warped_ys, sensor_size, window_size, col
+            )
         return jnp.stack(
             [
                 events_to_pdf_frame_pallas_banded(

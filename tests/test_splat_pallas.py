@@ -189,6 +189,88 @@ def test_banded2d_interpret_tile_sorted(rng):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
 
 
+def test_stacked_multiref_matches_per_ref_loop(rng):
+    """The single-grid stacked multi-ref splat must match per-ref kernel
+    calls (and the XLA oracle) in value and gradient, including boundary
+    spill near row 0 / row H-1 and out-of-sensor drops (interpret mode)."""
+    from eincm_tpu.ops.splat import _splat_multi_ref_stacked, events_to_pdf_frame
+
+    h, w = BSENSOR
+    n = 30000
+    wxs, wys = [], []
+    for r in range(2):
+        wx, wy = _sorted_events(rng, n, spread=6.0)
+        # force boundary traffic: pull some events just outside the sensor
+        wy = jnp.where(jnp.arange(n) % 97 == 0, wy - float(h // 2), wy)
+        wy = jnp.where(jnp.arange(n) % 89 == 1, wy + float(h // 2), wy)
+        wxs.append(wx)
+        wys.append(wy)
+    wxs = jnp.stack(wxs)
+    wys = jnp.stack(wys)
+
+    stacked = _splat_multi_ref_stacked(
+        wxs, wys, BSENSOR, 3, try_col_band=False, interpret=True
+    )
+    oracle = jax.vmap(
+        lambda a, b: events_to_pdf_frame(a, b, BSENSOR)
+    )(wxs, wys)
+    # rtol is looser than the per-ref kernel tests': concatenating refs
+    # shifts ref>0's 256-event chunk groupings, so f32 partial sums
+    # REASSOCIATE vs the per-ref call (measured max abs delta ~8e-4 on
+    # busy pixels — far below the smallest representable splat fragment
+    # exp(-2)/sqrt(2pi) ~ 0.054, i.e. pure accumulation-order noise, not a
+    # dropped/misplaced contribution)
+    np.testing.assert_allclose(
+        np.asarray(stacked), np.asarray(oracle), rtol=2e-3, atol=5e-4
+    )
+
+    cot = jnp.asarray(rng.normal(0, 1, (2, h, w)).astype(np.float32))
+
+    def f_stacked(a, b):
+        return (
+            _splat_multi_ref_stacked(a, b, BSENSOR, 3, False, True) * cot
+        ).sum()
+
+    def f_oracle(a, b):
+        return (
+            jax.vmap(lambda u, v: events_to_pdf_frame(u, v, BSENSOR))(a, b)
+            * cot
+        ).sum()
+
+    gx_s, gy_s = jax.grad(f_stacked, argnums=(0, 1))(wxs, wys)
+    gx_o, gy_o = jax.grad(f_oracle, argnums=(0, 1))(wxs, wys)
+    # atol covers near-zero gradient components whose reassociation noise
+    # (measured <= 2.2e-5 abs on grads of typical magnitude ~0.2) trips a
+    # pure rtol bound
+    np.testing.assert_allclose(
+        np.asarray(gx_s), np.asarray(gx_o), rtol=1e-3, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(gy_s), np.asarray(gy_o), rtol=1e-3, atol=1e-4
+    )
+
+
+def test_stacked_multiref_nan_padding(rng):
+    """NaN-padded (deficient-window) events contribute nothing and produce
+    finite zero gradients through the stacked path."""
+    from eincm_tpu.ops.splat import _splat_multi_ref_stacked, events_to_pdf_frame
+
+    wx, wy = _sorted_events(rng, 8000)
+    pad = jnp.full((1024,), jnp.nan, jnp.float32)
+    wxs = jnp.stack([jnp.concatenate([wx, pad])] * 2)
+    wys = jnp.stack([jnp.concatenate([wy, pad])] * 2)
+
+    def f(a, b):
+        return _splat_multi_ref_stacked(a, b, BSENSOR, 3, False, True).sum()
+
+    val = f(wxs, wys)
+    ref = 2 * events_to_pdf_frame(wx, wy, BSENSOR).sum()
+    np.testing.assert_allclose(float(val), float(ref), rtol=1e-4)
+    gx, gy = jax.grad(f, argnums=(0, 1))(wxs, wys)
+    assert np.isfinite(np.asarray(gx)).all()
+    assert np.isfinite(np.asarray(gy)).all()
+
+
 def test_banded_band_start_regression(rng):
     """Non-monotone band starts stay banded: a later chunk whose warped rows
     regress below the previous chunk's band (but not below the sliding
