@@ -36,9 +36,14 @@ MVSEC_N_EVENTS = 30_000
 _SPEED = 5.0  # |V| px/s, matching the round-2 (4, -3) workload magnitude
 
 
-def stage_mvsec_windows(n_windows: int = 6, rotate_deg: float = 15.0):
+def stage_mvsec_windows(n_windows: int = 6, rotate_deg: float = 15.0,
+                        edge_cfg=None):
     """Stage ``n_windows`` MVSEC-scale windows whose GT velocity rotates
     ``rotate_deg`` per window at constant speed (see module docstring).
+
+    ``edge_cfg`` (an EdgeConfig) overrides the default Canny+IEDT edge
+    pipeline — the edge-sensitivity study perturbs it
+    (scripts/edge_sensitivity.py).
 
     Returns (staged_windows, velocities) — each staged entry is the
     device-ready WindowSample, each velocity the window's exact GT (vx, vy).
@@ -48,9 +53,11 @@ def stage_mvsec_windows(n_windows: int = 6, rotate_deg: float = 15.0):
     from eincm_tpu.experiments.config import EdgeConfig
 
     phi0 = np.arctan2(-3.0, 4.0)  # round-2 workload direction
-    edge_fn = EdgeConfig(
-        enable_image_preprocessing=False, smoothen_method="eincm_iedt"
-    ).make_edge_fn()
+    if edge_cfg is None:
+        edge_cfg = EdgeConfig(
+            enable_image_preprocessing=False, smoothen_method="eincm_iedt"
+        )
+    edge_fn = edge_cfg.make_edge_fn()
     staged, vels = [], []
     for k in range(n_windows):
         phi = phi0 + np.deg2rad(rotate_deg) * k
@@ -166,6 +173,7 @@ def build_dsec_solve_bench(
     n_windows: int = 4,
     rotate_deg: float = 15.0,
     splat_impl: str = "pallas_banded2d",
+    solver_overrides: dict | None = None,
 ):
     """Build the DSEC-scale chained-window solve benchmark (full production
     tuning, run.sh:99-121: 480x640, 1.5M events/window, alpha=2000
@@ -216,7 +224,7 @@ def build_dsec_solve_bench(
             ).window
         )
 
-    cfg = SolverConfig(
+    cfg_kwargs = dict(
         n_pyr_lvls=5,
         sensor_size=(DSEC_H, DSEC_W),
         params=LossParams(alpha=2000.0, beta=4000.0, gamma=0.0, delta=0.0),
@@ -227,6 +235,8 @@ def build_dsec_solve_bench(
             use_handover=True, solve_handover_for_levels=(0,)
         ),
     )
+    cfg_kwargs.update(solver_overrides or {})
+    cfg = SolverConfig(**cfg_kwargs)
     solver = make_window_solver(cfg)
 
     res0 = solver(staged[0], cfg.zero_pyramid(), is_first=True)

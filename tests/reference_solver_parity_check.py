@@ -58,13 +58,28 @@ from eincm_tpu.models.pyramid import (  # noqa: E402
 from eincm_tpu.ops.resize import scale_theta_to_sensor_size  # noqa: E402
 
 # ---- shared problem setup ------------------------------------------------
+# geometry/scale are env-overridable so ONE harness covers both the fast CI
+# shape (defaults below) and the MVSEC production shape (VERDICT r3 item 2;
+# driven by scripts/production_parity.py):
+#   EINCM_PARITY_H=256 EINCM_PARITY_W=336 EINCM_PARITY_EVENTS=30000
+#   EINCM_PARITY_MAXITERS=40,33,25,18,10 EINCM_PARITY_FEATURES=180
+#   EINCM_PARITY_VX=4.0 EINCM_PARITY_VY=-3.0 EINCM_PARITY_WINDOWS=10
 
-H, W = 64, 64
-N_EVENTS = 8192
-N_WINDOWS = 10
-VELOCITY = (1.5, -1.0)
+H = int(os.environ.get("EINCM_PARITY_H", 64))
+W = int(os.environ.get("EINCM_PARITY_W", 64))
+N_EVENTS = int(os.environ.get("EINCM_PARITY_EVENTS", 8192))
+N_WINDOWS = int(os.environ.get("EINCM_PARITY_WINDOWS", 10))
+VELOCITY = (
+    float(os.environ.get("EINCM_PARITY_VX", 1.5)),
+    float(os.environ.get("EINCM_PARITY_VY", -1.0)),
+)
+N_FEATURES = int(os.environ.get("EINCM_PARITY_FEATURES", 60))
 N_PYR = 5
-MAXITERS = (25, 21, 18, 14, 10)  # growing maxiters, miniter 10 / maxiter 25
+# growing maxiters, miniter 10 / maxiter 25 (production: 40,33,25,18,10)
+MAXITERS = tuple(
+    int(m)
+    for m in os.environ.get("EINCM_PARITY_MAXITERS", "25,21,18,14,10").split(",")
+)
 HO_MAXITER = 15
 GTOL = 1e-4
 N_EXTRA = {0: 1, 1: 1}
@@ -87,7 +102,7 @@ def staged_windows():
     # so the compared windows must all be full
     dl = SyntheticDataLoader(
         sensor_size=(H, W), n_windows=N_WINDOWS + 1, des_n_events=N_EVENTS,
-        velocity=VELOCITY, n_features=60, seed=3,
+        velocity=VELOCITY, n_features=N_FEATURES, seed=3,
     )
     dl.get_ready()
     edge_fn = EdgeConfig(
