@@ -176,6 +176,14 @@ class SolverSettings:
     # staging, auto-falls-back when banding is invalid; 1.5-1.6x the
     # full-height kernel at DSEC scale) | 'pallas' | 'xla' | 'banded'
     splat_impl: str = "pallas_banded"
+    # single-grid stacked multi-ref splat (all reference frames in ONE
+    # banded-kernel invocation): +8.8% warp+splat throughput at DSEC scale,
+    # solve p50 within noise; OPT-IN because the frame-offset addition
+    # perturbs ~3e-5 of events by one splat row (sub-ULP .5-boundary snap,
+    # ops/splat.py) and the 10-window A/B read a slightly higher armijo
+    # rescue rate (2/10 vs 0/10, both rescued; AEE mean +0.009 px, within
+    # the harness's chaos band) — see PARITY.md round-4 section
+    splat_multiref_stacked: bool = False
     # coarse-theta interpolation: 'pallas' (dedicated kernel — weight planes
     # stay in VMEM; ~10% faster fwd and ~2x cheaper bwd at DSEC scale; TPU
     # f32 h,w<=128 only, falls back to 'xla' otherwise) | 'xla'

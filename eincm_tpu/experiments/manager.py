@@ -45,10 +45,14 @@ class EINCMExperiment:
         self.solver_cfg = cfg.solver_config()
         self.edge_fn = cfg.edge.make_edge_fn()
 
-        from eincm_tpu.ops.splat import set_splat_impl
+        from eincm_tpu.ops.splat import (
+            set_splat_impl,
+            set_splat_multiref_stacked,
+        )
         from eincm_tpu.ops.warp import set_interp_impl
 
         set_splat_impl(cfg.solver.splat_impl)
+        set_splat_multiref_stacked(cfg.solver.splat_multiref_stacked)
         set_interp_impl(cfg.solver.interp_impl)
         # banded splats want row-local (or tile-local) event chunks; all
         # loss reductions are permutation-invariant, so event order is free

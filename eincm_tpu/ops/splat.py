@@ -281,11 +281,22 @@ def _splat_multi_ref_stacked(
     ref i ends <= i*(H+guard) + H + 0.5 < (i+1)*(H+guard) - 0.5 <= ref
     i+1's start).
 
-    One measure-zero boundary caveat: an event at EXACTLY warped row
-    H - 1 + hw + 0.5 is dropped here but half-even-rounds to a partial
-    contribution in the per-ref kernel; float warped coordinates hit the
-    exact boundary with probability ~0 (parity asserted on generic coords
-    in tests/test_splat_pallas.py).
+    The keep mask reproduces the kernels' drop semantics exactly (round
+    half-even, then test window rows against [0, H)), so exact-.5 boundary
+    coordinates behave identically to the per-ref call; the frame stride is
+    forced EVEN so round-half-even of an exact tie is preserved by the
+    offset addition.
+
+    Sub-ULP rounding deviation (measured, documented): the f32 addition of
+    the frame offset can SNAP a coordinate lying within one ULP of a .5
+    boundary across it (ULP grows with magnitude: ~3.1e-5 at row 445 vs
+    ~1.2e-5 at row 123), flipping that event's round() by one and shifting
+    its 3x3 window one row vs the per-ref loop. Probability ~ULP per event
+    (~3e-5): a few dozen events per DSEC window move one row — orders of
+    magnitude below the f32 noise floor the solver already terminates at.
+    Forensics: tests/test_splat_pallas.py stacked tests quantize
+    coordinates to exact binary fractions so the offset addition is exact
+    and the comparison isolates real kernel behavior.
     """
     from eincm_tpu.ops.splat_banded import events_to_pdf_frame_pallas_banded
 
@@ -293,10 +304,18 @@ def _splat_multi_ref_stacked(
     H, W = sensor_size
     hw = window_size // 2
     guard = window_size - 1
+    # an EVEN frame stride keeps round-half-even consistent for exact-.5
+    # coordinates after the offset (odd strides would flip their parity)
+    if (H + guard) % 2:
+        guard += 1
     Hv = R * H + (R - 1) * guard
     dtype = warped_ys.dtype
     offs = (jnp.arange(R, dtype=dtype) * (H + guard))[:, None]
-    keep = (warped_ys > -(hw + 0.5)) & (warped_ys < H - 1 + hw + 0.5)
+    # keep iff the 3x3 window has any in-sensor row, using the SAME
+    # round-half-even the kernels apply — exact-.5 boundary coordinates
+    # then match the per-ref call bit for bit
+    ry = jnp.round(warped_ys)
+    keep = (ry >= -hw) & (ry <= H - 1 + hw)
     sent = jnp.asarray(-1e4, dtype)
     ys = jnp.where(keep, warped_ys + offs, sent)
     xs = jnp.where(keep, warped_xs, sent)

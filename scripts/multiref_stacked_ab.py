@@ -42,15 +42,16 @@ def parity_check():
     ys0 = rng.integers(0, H, E).astype(np.float32)
     ts0 = rng.uniform(0, 1, E).astype(np.float32)
     xs_t, ys_t, _, _ = tile_sort_events(xs0, ys0, ts0, np.zeros(E, bool), H)
+    ep = len(xs_t)  # tile_sort pads to tile-chunk multiples (NaN tails)
     wxs = jnp.stack(
         [
-            jnp.asarray(xs_t) + rng.uniform(-4, 4, E).astype(np.float32)
+            jnp.asarray(xs_t) + rng.uniform(-4, 4, ep).astype(np.float32)
             for _ in range(R)
         ]
     )
     wys = jnp.stack(
         [
-            jnp.asarray(ys_t) + rng.uniform(-4, 4, E).astype(np.float32)
+            jnp.asarray(ys_t) + rng.uniform(-4, 4, ep).astype(np.float32)
             for _ in range(R)
         ]
     )

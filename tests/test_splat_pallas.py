@@ -203,6 +203,12 @@ def test_stacked_multiref_matches_per_ref_loop(rng):
         # force boundary traffic: pull some events just outside the sensor
         wy = jnp.where(jnp.arange(n) % 97 == 0, wy - float(h // 2), wy)
         wy = jnp.where(jnp.arange(n) % 89 == 1, wy + float(h // 2), wy)
+        # quantize to 1/64 so the stacked path's frame-offset addition is
+        # EXACT in f32: generic coords within one ULP of a .5 boundary
+        # legitimately flip their rounding after the offset (documented
+        # sub-ULP deviation, ops/splat.py) and would fail a paired compare
+        wy = jnp.round(wy * 64.0) / 64.0
+        wx = jnp.round(wx * 64.0) / 64.0
         wxs.append(wx)
         wys.append(wy)
     wxs = jnp.stack(wxs)
@@ -248,6 +254,69 @@ def test_stacked_multiref_matches_per_ref_loop(rng):
     np.testing.assert_allclose(
         np.asarray(gy_s), np.asarray(gy_o), rtol=1e-3, atol=1e-4
     )
+
+
+def test_stacked_multiref_col_banded_tile_sorted(rng):
+    """Stacked multi-ref with try_col_band=True over tile-sorted events
+    (the DSEC production staging) — value AND gradient vs the per-ref XLA
+    oracle (interpret mode)."""
+    from eincm_tpu.data.staging import tile_sort_events
+    from eincm_tpu.ops.splat import _splat_multi_ref_stacked, events_to_pdf_frame
+
+    h, w = BSENSOR
+    n = 60000
+    wxs, wys = [], []
+    for r in range(2):
+        xs0 = rng.uniform(0, w - 1, n).astype(np.float32)
+        ys0 = rng.uniform(0, h - 1, n).astype(np.float32)
+        ts0 = rng.uniform(0, 1, n).astype(np.float32)
+        xs_t, ys_t, _, _ = tile_sort_events(
+            xs0, ys0, ts0, np.zeros(n, bool), h
+        )
+        ep = len(xs_t)
+        wx = np.asarray(xs_t) + rng.uniform(-4, 4, ep).astype(np.float32)
+        wy = np.asarray(ys_t) + rng.uniform(-4, 4, ep).astype(np.float32)
+        # 1/64 quantization: keep the frame-offset addition exact (see the
+        # sub-ULP note in ops/splat._splat_multi_ref_stacked)
+        wx = np.round(wx * 64.0) / 64.0
+        wy = np.round(wy * 64.0) / 64.0
+        pad = ~np.isfinite(np.asarray(ys_t))
+        wx[pad] = np.nan
+        wy[pad] = np.nan
+        wxs.append(wx)
+        wys.append(wy)
+    wxs = jnp.asarray(np.stack(wxs).astype(np.float32))
+    wys = jnp.asarray(np.stack(wys).astype(np.float32))
+
+    stacked = _splat_multi_ref_stacked(
+        wxs, wys, BSENSOR, 3, try_col_band=True, interpret=True
+    )
+    oracle = jax.vmap(
+        lambda a, b: events_to_pdf_frame(a, b, BSENSOR)
+    )(wxs, wys)
+    np.testing.assert_allclose(
+        np.asarray(stacked), np.asarray(oracle), rtol=2e-3, atol=5e-4
+    )
+
+    cot = jnp.asarray(rng.normal(0, 1, (2, h, w)).astype(np.float32))
+
+    def f_stacked(a, b):
+        return (
+            _splat_multi_ref_stacked(a, b, BSENSOR, 3, True, True) * cot
+        ).sum()
+
+    def f_oracle(a, b):
+        return (
+            jax.vmap(lambda u, v: events_to_pdf_frame(u, v, BSENSOR))(a, b)
+            * cot
+        ).sum()
+
+    gx_s, gy_s = jax.grad(f_stacked, argnums=(0, 1))(wxs, wys)
+    gx_o, gy_o = jax.grad(f_oracle, argnums=(0, 1))(wxs, wys)
+    for gs, go in ((gx_s, gx_o), (gy_s, gy_o)):
+        gs, go = np.asarray(gs), np.asarray(go)
+        fin = np.isfinite(go)
+        np.testing.assert_allclose(gs[fin], go[fin], rtol=1e-3, atol=1e-4)
 
 
 def test_stacked_multiref_nan_padding(rng):
