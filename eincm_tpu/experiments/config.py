@@ -245,6 +245,15 @@ class PhaseSettings:
     # eval-during-solve callback (src/eincm/callbacks.py:140-149); requires
     # solver.collect_intermediate
     eval_intermediate: bool = False
+    # EAGER per-window EVAL/PLOT inside the solve loop (reference
+    # exp_mgr.py:646-656: theta_evaluation.eager / plot.eager with their
+    # every-N gates). Each eager eval/plot runs right after its window's
+    # results are finalized; the standalone EVAL/PLOT phases still run (and
+    # re-evaluate) when enabled, exactly like the reference.
+    eager_eval: bool = False
+    eager_eval_every: int = 1
+    eager_plot: bool = False
+    eager_plot_every: int = 1
     # shard the EVAL phase over the device mesh (windows are independent at
     # eval time — no prior chain); falls back to serial when
     # eval_intermediate is set (per-iterate trajectories stay serial)

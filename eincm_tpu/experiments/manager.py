@@ -226,6 +226,7 @@ class EINCMExperiment:
                     else:
                         self._prior_pyr = fixed.final_theta_pyr
             finalize(p_idx, p_res)
+            self._eager_hooks(p_idx, p_staged)
             return cur_res, cur_prior
 
         for idx, staged in prefetcher:
@@ -561,61 +562,13 @@ class EINCMExperiment:
         # overlap host staging (edge extraction) with the device evaluations
         for idx, staged in StagingPrefetcher(dl, indices, self.stage, depth=2):
             key = f"datasample_idx_{idx}"
-            theta_full = self._final_theta_full(idx)
-
-            gt = staged.gt_flow
-            mask = None
-            if (
-                self.cfg.dataset.kind == "mvsec"
-                and self.cfg.dataset.sequence_name == "outdoor_day1"
-            ):
-                # car-hood mask: rows >= 190 excluded (exp_mgr.py:429-432)
-                mask = np.ones(tuple(self.cfg.dataset.sensor_size), bool)
-                mask[190:] = False
-                mask = jnp.asarray(mask)
-
-            # pad the eval events and compute the window's theta-independent
-            # statistics ONCE; the final evaluation and every recorded
-            # iterate below share them (the intermediate path previously
-            # re-splatted the full event window per iterate)
-            from eincm_tpu.evals.theta_metrics import prepare_eval_inputs
-
-            ev = staged.eval_events
-            sensor = tuple(self.cfg.dataset.sensor_size)
-            exs, eys, ets, wstat = prepare_eval_inputs(
-                jnp.asarray(ev["x"], jnp.float32),
-                jnp.asarray(ev["y"], jnp.float32),
-                jnp.asarray(ev["t"], jnp.float32),
-                staged.window.edges,
-                sensor,
-                dtype=theta_full.dtype,
-            )
-            eval_inputs = (exs, eys, ets, wstat)
-            time_str, eval_str, evals, _ = evaluate_theta_array(
-                theta_full,
-                exs,
-                eys,
-                ets,
-                staged.window.edges,
-                staged.window.edge_ts,
-                None if gt is None else jnp.asarray(gt, jnp.float32),
-                self.cfg.loss_params,
-                sensor,
-                err_eval_event_mask=mask,
-                window_statics=wstat,
-            )
-            self.eval_results[key] = {
-                "evals": {k: np.asarray(v) for k, v in evals.items()},
-                "eval_ts": np.asarray(staged.eval_ts),
-                "eval_ts_units": staged.eval_ts_units,
-            }
+            gt, mask, eval_inputs = self._eval_one_window(idx, staged)
             if self.cfg.phases.eval_intermediate:
                 inter = self._eval_intermediate(
                     key, staged, gt, mask, eval_inputs
                 )
                 if inter is not None:
                     self.eval_results[key]["intermediate"] = inter
-            log(f"{time_str} {key}: {eval_str.strip()}")
 
         save_eval_results(
             self.out_dir / "eval_results.npz", self.eval_results, self.cfg.to_dict()
@@ -623,6 +576,75 @@ class EINCMExperiment:
         scores = self.extract_scores()
         self.write_scores(scores)
         return self.eval_results
+
+    def _eval_one_window(self, idx: int, staged: StagedSample):
+        """Evaluate one solved window (shared by the EVAL phase's serial
+        loop and the eager in-solve evaluation, exp_mgr.py:646-651).
+
+        Returns (gt, mask, eval_inputs) so the intermediate-iterate path
+        can reuse the hoisted statics."""
+        key = f"datasample_idx_{idx}"
+        theta_full = self._final_theta_full(idx)
+        gt = staged.gt_flow
+        mask = self._hood_mask()
+        mask = None if mask is None else jnp.asarray(mask)
+
+        # pad the eval events and compute the window's theta-independent
+        # statistics ONCE; the final evaluation and every recorded iterate
+        # share them
+        from eincm_tpu.evals.theta_metrics import prepare_eval_inputs
+
+        ev = staged.eval_events
+        sensor = tuple(self.cfg.dataset.sensor_size)
+        exs, eys, ets, wstat = prepare_eval_inputs(
+            jnp.asarray(ev["x"], jnp.float32),
+            jnp.asarray(ev["y"], jnp.float32),
+            jnp.asarray(ev["t"], jnp.float32),
+            staged.window.edges,
+            sensor,
+            dtype=theta_full.dtype,
+        )
+        eval_inputs = (exs, eys, ets, wstat)
+        time_str, eval_str, evals, _ = evaluate_theta_array(
+            theta_full,
+            exs,
+            eys,
+            ets,
+            staged.window.edges,
+            staged.window.edge_ts,
+            None if gt is None else jnp.asarray(gt, jnp.float32),
+            self.cfg.loss_params,
+            sensor,
+            err_eval_event_mask=mask,
+            window_statics=wstat,
+        )
+        self.eval_results[key] = {
+            "evals": {k: np.asarray(v) for k, v in evals.items()},
+            "eval_ts": np.asarray(staged.eval_ts),
+            "eval_ts_units": staged.eval_ts_units,
+        }
+        log(f"{time_str} {key}: {eval_str.strip()}")
+        return gt, mask, eval_inputs
+
+    def _eager_hooks(self, idx: int, staged: StagedSample):
+        """Eager per-window EVAL/PLOT right after a window's solve results
+        are finalized (reference exp_mgr.py:646-656 with the every-N
+        gates)."""
+        ph = self.cfg.phases
+        if ph.eager_eval and idx % max(1, ph.eager_eval_every) == 0:
+            self._eval_one_window(idx, staged)
+        if ph.eager_plot and idx % max(1, ph.eager_plot_every) == 0:
+            if getattr(self, "_eager_plotter", None) is None:
+                from eincm_tpu.experiments.plotters import (
+                    EINCMExperimentPlotter,
+                )
+
+                self._eager_plotter = EINCMExperimentPlotter(
+                    self.cfg, self.out_dir / "plots"
+                )
+            self._eager_plotter.plot_end_results(
+                idx, staged, self._final_theta_full(idx)
+            )
 
     def _hood_mask(self):
         if (

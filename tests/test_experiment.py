@@ -401,6 +401,30 @@ def test_parallel_windows_mode(tmp_path):
     assert np.mean(aees) < 1.6, aees
 
 
+def test_eager_eval_plot_in_solve_loop(tmp_path):
+    """Eager per-window EVAL/PLOT inside the solve loop (reference
+    exp_mgr.py:646-656) with the every-N gates."""
+    cfg = tiny_cfg(tmp_path)
+    cfg.dataset.n_windows = 4
+    cfg.phases.eager_eval = True
+    cfg.phases.eager_eval_every = 2  # windows 0 and 2
+    cfg.phases.eager_plot = True
+    cfg.phases.eager_plot_every = 4  # window 0 only
+    cfg.phases.eval = False
+    exp = EINCMExperiment(cfg)
+    exp.run_solver()
+    assert set(exp.eval_results) == {"datasample_idx_0", "datasample_idx_2"}
+    for rec in exp.eval_results.values():
+        assert np.isfinite(float(np.asarray(rec["evals"]["AEE"])))
+    plots = list((exp.out_dir / "plots").glob("**/*end_result*"))
+    assert len(plots) == 1, plots
+
+    # the standalone EVAL phase still re-evaluates everything (reference
+    # behavior: eager collection does not replace the phase)
+    exp.run_eval()
+    assert len(exp.eval_results) == 4
+
+
 def test_parallel_eval_matches_serial(tmp_path):
     """phases.parallel_eval shards the EVAL phase over the 8-device mesh
     (VERDICT r3 item 5); per-window metrics must match the serial path (same
