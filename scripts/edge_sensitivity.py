@@ -33,6 +33,69 @@ os.environ.setdefault(
 import numpy as np
 
 
+def perturbed_edge_cfg(base, kind, seed=7):
+    """Wrap a config's edge_fn with a STRUCTURAL perturbation of the binary
+    edge map before smoothing — the honest model of a cv2-vs-ours Canny
+    deviation (a few boundary pixels differing), which threshold sweeps
+    cannot emulate on the high-contrast synthetic fixture:
+      drop10   remove a random 10% of edge pixels
+      add5     add spurious edge pixels (5% of the edge count)
+      shift1   translate the whole edge map by 1 px (worst-case systematic
+               localization bias, far beyond any NMS implementation delta)
+    """
+    import dataclasses as _dc
+
+    from eincm_tpu.edge import pipeline as ep
+
+    cfg = _dc.replace(base)
+    inner_smoothen = (
+        (lambda e: ep.eincm_inv_exp_dist_transform(e, cfg.iedt_alpha))
+        if cfg.smoothen_method == "eincm_iedt"
+        else (lambda e: ep.smoothen_edges(e, cfg.smoothen_k_size,
+                                          cfg.smoothen_sigma))
+    )
+    rng = np.random.default_rng(seed)
+
+    def perturb(edge):
+        e = np.asarray(edge) > 0
+        if kind == "drop10":
+            mask = rng.uniform(size=e.shape) < 0.10
+            e = e & ~mask
+        elif kind == "add5":
+            n_add = max(1, int(e.sum() * 0.05))
+            ys = rng.integers(0, e.shape[0], n_add)
+            xs = rng.integers(0, e.shape[1], n_add)
+            e = e.copy()
+            e[ys, xs] = True
+        elif kind == "shift1":
+            e = np.roll(e, (1, 1), axis=(0, 1))
+        else:
+            raise ValueError(kind)
+        return e.astype(np.float64)
+
+    EPSN = sys.float_info.epsilon
+
+    def edge_fn(images):
+        # the pipeline with the perturbation inserted between Canny and
+        # smoothing (mirrors ep.extract_edges)
+        out = []
+        for img in images:
+            if cfg.enable_image_preprocessing:
+                img = ep.preprocess_image(img, **(cfg.preprocess_kwargs or {}))
+            edges = ep.image_to_edge(
+                img, cfg.canny_aperture, cfg.canny_th1, cfg.canny_th2
+            )
+            sm = np.asarray(inner_smoothen(perturb(edges)), np.float64)
+            out.append((sm - sm.min()) / (sm.max() - sm.min() + EPSN))
+        return np.stack(out)
+
+    class _Cfg:
+        def make_edge_fn(self):
+            return edge_fn
+
+    return _Cfg()
+
+
 def solve_chain_aee(edge_cfg, n_windows=6):
     """Solve an MVSEC-scale rotating-velocity chain with the given edge
     pipeline; return per-window AEE at event pixels vs the exact GT."""
@@ -121,6 +184,13 @@ def main():
         "preprocess_on": dataclasses.replace(
             base, enable_image_preprocessing=True
         ),
+        # STRUCTURAL edge perturbations — the honest model of a cv2-vs-ours
+        # Canny deviation (the synthetic fixture's high-contrast edges make
+        # threshold sweeps vacuous; differing boundary pixels are what an
+        # implementation delta would actually look like)
+        "edges_drop10%": perturbed_edge_cfg(base, "drop10"),
+        "edges_add5%": perturbed_edge_cfg(base, "add5"),
+        "edges_shift1px": perturbed_edge_cfg(base, "shift1"),
     }
 
     res = {}
