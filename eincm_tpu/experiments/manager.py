@@ -540,6 +540,14 @@ class EINCMExperiment:
         )
 
     def run_eval(self, opt_results_path: Optional[str] = None):
+        if opt_results_path is None and not self.opt_results:
+            # EVAL-only invocation (phases.solve=false): load this
+            # experiment's saved artifact, like the reference's
+            # opt_results_from_mem=False path (exp_mgr.py:556-559, 836-848)
+            default = self.out_dir / "opt_results.npz"
+            if default.exists():
+                opt_results_path = str(default)
+                log(f"loading opt_results from {default}")
         if opt_results_path is not None:
             loader = EINCMOutputLoader()
             self.opt_results = loader.load_opt_results(opt_results_path)
@@ -909,6 +917,15 @@ class EINCMExperiment:
             import matplotlib
 
             matplotlib.rcParams.update(self.cfg.mpl_rcparams)
+        if opt_results_path is None and not self.opt_results:
+            # PLOT-only invocation: load this experiment's saved artifacts
+            default = self.out_dir / "opt_results.npz"
+            if default.exists():
+                opt_results_path = str(default)
+        if eval_results_path is None and not self.eval_results:
+            default_ev = self.out_dir / "eval_results.npz"
+            if default_ev.exists():
+                eval_results_path = str(default_ev)
         if opt_results_path is not None:
             self.opt_results = EINCMOutputLoader().load_opt_results(
                 opt_results_path

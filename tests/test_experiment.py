@@ -401,6 +401,24 @@ def test_parallel_windows_mode(tmp_path):
     assert np.mean(aees) < 1.6, aees
 
 
+def test_eval_only_invocation_loads_saved_artifacts(tmp_path):
+    """phases.solve=false + eval/plot must auto-load the experiment's saved
+    opt_results.npz (reference exp_mgr.py:556-559 disk path) — the
+    production CLI rehearsal caught this as a crash."""
+    cfg = tiny_cfg(tmp_path)
+    EINCMExperiment(cfg).run_solver()
+
+    cfg2 = tiny_cfg(tmp_path)
+    cfg2.phases.solve = False
+    cfg2.phases.eval = True
+    cfg2.phases.plot = True
+    exp = EINCMExperiment(cfg2)
+    exp.run()
+    assert len(exp.eval_results) == 3
+    assert (exp.out_dir / "scores.txt").exists()
+    assert list((exp.out_dir / "plots").glob("**/*end_result*"))
+
+
 def test_eager_eval_plot_in_solve_loop(tmp_path):
     """Eager per-window EVAL/PLOT inside the solve loop (reference
     exp_mgr.py:646-656) with the every-N gates."""
