@@ -134,6 +134,38 @@ def test_interp_pallas_vs_xla(events):
     np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), rtol=3e-5, atol=1e-2)
 
 
+def test_stacked_multiref_vs_per_ref_loop(events):
+    """Single-grid stacked multi-ref splat vs per-ref kernel calls on
+    hardware. Coordinates quantize to 1/64 so the frame-offset addition is
+    exact (the generic-f32 sub-ULP .5-boundary snap is documented in
+    ops/splat.py and excluded here by construction)."""
+    from eincm_tpu.ops.splat import _splat_multi_ref_stacked
+    from eincm_tpu.ops.splat_banded import events_to_pdf_frame_pallas_banded
+
+    sensor, wx, wy = events
+    q = lambda a: jnp.round(a * 64.0) / 64.0
+    r = np.random.default_rng(11)
+    jit2 = jnp.asarray(r.uniform(-3, 3, wx.shape[0]).astype(np.float32))
+    wxs = jnp.stack([q(wx), q(wx + jit2)])
+    wys = jnp.stack([q(wy), q(wy - jit2)])
+
+    stacked = np.asarray(
+        jax.jit(
+            lambda a, b: _splat_multi_ref_stacked(a, b, sensor, 3, False)
+        )(wxs, wys)
+    )
+    loop = np.stack(
+        [
+            np.asarray(
+                events_to_pdf_frame_pallas_banded(wxs[i], wys[i], sensor, 3)
+            )
+            for i in range(2)
+        ]
+    )
+    # bf16 MXU contractions + re-chunked accumulation order
+    assert np.abs(stacked - loop).max() / np.abs(loop).max() < 5e-3
+
+
 def test_banded_fallback_unsorted(events):
     from eincm_tpu.ops.splat import events_to_pdf_frame_scatter
     from eincm_tpu.ops.splat_banded import events_to_pdf_frame_pallas_banded
