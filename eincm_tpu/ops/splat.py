@@ -238,7 +238,10 @@ def events_to_pdf_frame(
         return frame, None
 
     frame0 = jnp.zeros((H, W), dtype)
-    frame, _ = jax.lax.scan(step, frame0, (xs, ys))
+    # remat: the backward otherwise stores every chunk's (E, H) + (E, W)
+    # one-hot weights (HBM OOM in the AOT compiler at DSEC's 1.5M events
+    # — see events_to_pdf_frame_banded for the measured account)
+    frame, _ = jax.lax.scan(jax.checkpoint(step), frame0, (xs, ys))
     return frame
 
 
