@@ -80,16 +80,23 @@ def parity_check():
     g_s = jax.jit(
         jax.grad(lambda a, b: (stacked_fn(a, b) * cot).sum(), (0, 1))
     )(wxs, wys)
-    gmax = max(
-        float(
-            jnp.max(jnp.abs(gs - gl))
-            / jnp.maximum(jnp.max(jnp.abs(gl)), 1e-30)
-        )
-        for gs, gl in zip(g_s, g_l)
-    )
+    # grad_maxrel is dominated by the documented sub-ULP .5-boundary snap
+    # (ops/splat.py): a handful of events' windows shift one row, giving
+    # isolated large per-coordinate deltas. Report how many coordinates
+    # exceed 1% of the global grad magnitude so reruns can see the affected
+    # POPULATION, not just the worst coordinate.
+    gmax, n_big, n_total = 0.0, 0, 0
+    for gs, gl in zip(g_s, g_l):
+        scale = float(jnp.maximum(jnp.max(jnp.abs(gl)), 1e-30))
+        d = jnp.abs(gs - gl) / scale
+        gmax = max(gmax, float(jnp.max(d)))
+        n_big += int(jnp.sum(d > 0.01))
+        n_total += int(d.size)
     return {
         "value_relerr": abs(v_s - v_l) / max(abs(v_l), 1e-30),
         "grad_maxrel": gmax,
+        "grad_coords_over_1pct": n_big,
+        "grad_coords_total": n_total,
     }
 
 
