@@ -42,26 +42,45 @@ TUNINGS = {
 }
 
 
+STATE_DIR = os.path.join(REPO, ".parity_ckpt")
+
+
 def run_one(name, tuning_env, n_windows):
+    """One tuning, checkpointed: each solved reference-side window persists
+    under .parity_ckpt/<name>/ (the ref side costs ~45 min/window at
+    production shape on this container's single CPU core), XLA compiles
+    land in a persistent cache, and stderr (incl. per-window partial
+    metrics) streams to .parity_ckpt/<name>.log."""
     env = dict(os.environ)
     env.update(PRODUCTION_ENV)
     env.update(tuning_env)
     env["EINCM_PARITY_WINDOWS"] = str(n_windows)
     env["JAX_PLATFORMS"] = "cpu"
+    env["EINCM_PARITY_CKPT"] = os.path.join(STATE_DIR, name)
+    env["EINCM_PARITY_CACHE"] = os.path.join(STATE_DIR, "xla_cache")
     # single-device: the forced virtual mesh changes XLA compilation enough
     # to nudge individual windows into different basins (see the CI fixture)
     env["XLA_FLAGS"] = " ".join(
         f for f in env.get("XLA_FLAGS", "").split()
         if "xla_force_host_platform_device_count" not in f
     )
-    print(f"# running {name} ({n_windows} windows)...", file=sys.stderr, flush=True)
-    res = subprocess.run(
-        [sys.executable, HARNESS], capture_output=True, text=True, env=env
-    )
+    os.makedirs(STATE_DIR, exist_ok=True)
+    log_path = os.path.join(STATE_DIR, f"{name}.log")
+    print(f"# running {name} ({n_windows} windows), log: {log_path}",
+          file=sys.stderr, flush=True)
+    with open(log_path, "a") as log, open(
+        os.path.join(STATE_DIR, f"{name}.stdout"), "a+"
+    ) as out_f:
+        res = subprocess.run(
+            [sys.executable, HARNESS], stdout=out_f, stderr=log, env=env
+        )
+        out_f.seek(0)
+        stdout = out_f.read()
     if res.returncode != 0:
-        print(res.stderr[-4000:], file=sys.stderr)
+        print(f"{name} failed (rc {res.returncode}); see {log_path}",
+              file=sys.stderr)
         raise SystemExit(f"{name} failed")
-    out = json.loads(res.stdout.strip().splitlines()[-1])
+    out = json.loads(stdout.strip().splitlines()[-1])
     print(f"# {name}: {json.dumps(out)}", file=sys.stderr, flush=True)
     return out
 
@@ -69,11 +88,15 @@ def run_one(name, tuning_env, n_windows):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--windows", type=int, default=10)
+    ap.add_argument("--tuning", choices=sorted(TUNINGS), default=None,
+                    help="run a single tuning (default: both, sequentially)")
     args = ap.parse_args()
-    results = {
-        name: run_one(name, env, args.windows)
-        for name, env in TUNINGS.items()
-    }
+    names = [args.tuning] if args.tuning else list(TUNINGS)
+    results = {}
+    for name in names:
+        results[name] = run_one(name, TUNINGS[name], args.windows)
+        with open(os.path.join(STATE_DIR, "results.json"), "w") as f:
+            json.dump(results, f, indent=1)
     print(json.dumps(results))
 
 

@@ -34,6 +34,20 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# long-run helpers (production shape; scripts/production_parity.py):
+#   EINCM_PARITY_CACHE  persistent XLA compilation cache dir — the
+#                       production-shape reference loss jit alone costs
+#                       ~415 s to compile, so resumes must not re-pay it
+#   EINCM_PARITY_CKPT   checkpoint dir — reference-side windows cost
+#                       ~45 min EACH at production shape on this
+#                       container's single CPU core; each solved window
+#                       is persisted and restored on restart
+_CACHE = os.environ.get("EINCM_PARITY_CACHE")
+if _CACHE:
+    jax.config.update("jax_compilation_cache_dir", _CACHE)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+_CKPT = os.environ.get("EINCM_PARITY_CKPT")
+
 import jax.numpy as jnp
 import numpy as np
 import scipy.optimize
@@ -326,26 +340,53 @@ def run_ours(windows, line_search):
     return out
 
 
-def main():
-    windows = staged_windows()
+# ---- checkpoint helpers (production-shape runs outlast containers) -------
 
-    ref = RefSolver()
-    ref_out = [ref.solve(w) for w in windows]
+
+def _ckpt_path(kind, i):
+    return os.path.join(_CKPT, f"{kind}_w{i:03d}.npz")
+
+
+def _save_window_result(kind, i, res):
+    if not _CKPT:
+        return
+    os.makedirs(_CKPT, exist_ok=True)
+    payload = {f"pyr{l}": np.asarray(res["final_pyr"][l]) for l in range(N_PYR)}
+    payload["fvals"] = np.asarray(res["fvals"], np.float64)
+    payload["weights"] = np.asarray(res["weights"], np.float64)
+    tmp = _ckpt_path(kind, i) + ".tmp.npz"  # np.savez appends .npz itself
+    np.savez(tmp, **payload)
+    os.replace(tmp, _ckpt_path(kind, i))
+
+
+def _load_window_result(kind, i):
+    path = _ckpt_path(kind, i)
+    if not (_CKPT and os.path.exists(path)):
+        return None
+    z = np.load(path)
+    return {
+        "final_pyr": [z[f"pyr{l}"] for l in range(N_PYR)],
+        "fvals": [float(v) for v in z["fvals"]],
+        "weights": [float(v) for v in z["weights"]],
+    }
+
+
+def compute_metrics(windows, ref_out, ours_by_mode, n):
+    """Parity metrics over the first n windows (partial-progress capable)."""
     ref_aee = [
         aee_at_events(r["final_pyr"][0], w.xs, w.ys)
-        for r, w in zip(ref_out, windows)
+        for r, w in zip(ref_out[:n], windows[:n])
     ]
-
     results = {
         "aee_ref": float(np.mean(ref_aee)),
         "aee_ref_per_window": [round(a, 4) for a in ref_aee],
-        "n_windows": N_WINDOWS,
+        "n_windows": n,
     }
-
-    for mode in ("wolfe", "armijo"):
-        ours = run_ours(windows, mode)
+    for mode, ours in ours_by_mode.items():
         theta_errs, loss_deltas, w_deltas, aee_deltas, aees = [], [], [], [], []
-        for k, (r, o, w) in enumerate(zip(ref_out, ours, windows)):
+        for k, (r, o, w) in enumerate(
+            zip(ref_out[:n], ours[:n], windows[:n])
+        ):
             tr = r["final_pyr"][0]
             to = o["final_pyr"][0]
             theta_errs.append(
@@ -363,7 +404,9 @@ def main():
             aee_deltas.append(a - ref_aee[k])
         results[f"final_theta_relerr_{mode}"] = float(np.max(theta_errs))
         results[f"level_loss_delta_{mode}"] = float(np.max(loss_deltas))
-        results[f"handover_w_delta_{mode}"] = float(np.max(w_deltas))
+        results[f"handover_w_delta_{mode}"] = (
+            float(np.max(w_deltas)) if w_deltas else 0.0
+        )
         results[f"aee_{mode}"] = float(np.mean(aees))
         results[f"aee_delta_{mode}"] = float(np.max(np.abs(aee_deltas)))
         results[f"aee_delta_mean_{mode}"] = float(np.mean(aee_deltas))
@@ -372,8 +415,45 @@ def main():
         results[f"aee_delta_per_window_{mode}"] = [
             round(d, 4) for d in aee_deltas
         ]
+    return results
 
-    print(json.dumps(results))
+
+def main():
+    windows = staged_windows()
+    print("# windows staged", file=sys.stderr, flush=True)
+
+    # ours first: it is the fast side, and having it done means every
+    # completed reference window immediately yields partial parity metrics
+    ours_by_mode = {}
+    for mode in ("wolfe", "armijo"):
+        cached = [_load_window_result(f"ours_{mode}", i) for i in range(N_WINDOWS)]
+        if all(c is not None for c in cached):
+            ours_by_mode[mode] = cached
+        else:
+            ours_by_mode[mode] = run_ours(windows, mode)
+            for i, res in enumerate(ours_by_mode[mode]):
+                _save_window_result(f"ours_{mode}", i, res)
+        print(f"# ours ({mode}) done", file=sys.stderr, flush=True)
+
+    ref = RefSolver()
+    ref_out = []
+    for i in range(N_WINDOWS):
+        cached = _load_window_result("ref", i)
+        if cached is not None:
+            ref_out.append(cached)
+            ref.prior_pyr = [jnp.asarray(t) for t in cached["final_pyr"]]
+            ref.is_first = False
+            continue
+        res = ref.solve(windows[i])
+        _save_window_result("ref", i, res)
+        ref_out.append(res)
+        partial = compute_metrics(windows, ref_out, ours_by_mode, i + 1)
+        print(
+            f"# ref window {i} solved; partial: {json.dumps(partial)}",
+            file=sys.stderr, flush=True,
+        )
+
+    print(json.dumps(compute_metrics(windows, ref_out, ours_by_mode, N_WINDOWS)))
 
 
 if __name__ == "__main__":
