@@ -97,6 +97,29 @@ def main():
             flush=True,
         )
 
+    # 8-window batched DP solve (VERDICT r4 item 9): the parallel phases'
+    # actual dispatch schedule, driver-visible so multi-window scaling
+    # regressions surface. Informational. Opt out with
+    # EINCM_BENCH_SKIP_PARALLEL=1.
+    if os.environ.get("EINCM_BENCH_SKIP_PARALLEL", "0") != "1":
+        from eincm_tpu.utils.benchmarks import build_parallel_solve_bench
+
+        one_round_par, _ = build_parallel_solve_bench()
+        par_samples = [one_round_par() for _ in range(3)]
+        par_ms = float(np.median(par_samples) * 1e3)
+        print(
+            json.dumps(
+                {
+                    "metric": "parallel_solve_p50_per_window",
+                    "value": round(par_ms, 1),
+                    "unit": "ms",
+                    # same <= 100 ms per-window bar as window_solve_p50
+                    "vs_baseline": round(100.0 / par_ms, 2),
+                }
+            ),
+            flush=True,
+        )
+
     # DSEC-scale warp+splat workload — ONE shared definition with the
     # paired A/B script (eincm_tpu.utils.benchmarks.build_dsec_throughput_bench)
     from eincm_tpu.utils.benchmarks import (

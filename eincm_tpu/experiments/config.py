@@ -188,6 +188,13 @@ class SolverSettings:
     # stay in VMEM; ~10% faster fwd and ~2x cheaper bwd at DSEC scale; TPU
     # f32 h,w<=128 only, falls back to 'xla' otherwise) | 'xla'
     interp_impl: str = "pallas"
+    # scan-over-levels shared-trace solver (models/pyramid_scan.py): ONE
+    # traced level body instead of one per pyramid level — built to cut the
+    # DSEC-scale 20-30 min cold compile (docs/ARCHITECTURE.md). Trajectory-
+    # equivalent to the per-level build (tests/test_pyramid_scan.py).
+    # Ignored (with a log line) when collect_intermediate or
+    # progress_heartbeat require the per-level build.
+    scan_levels: bool = False
 
     def growing_maxiters(self, miniter: int, maxiter: int) -> Tuple[int, ...]:
         """Per-level iteration budgets: more at coarse... actually more at the

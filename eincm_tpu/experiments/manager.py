@@ -72,7 +72,19 @@ class EINCMExperiment:
             serial_cfg = dataclasses.replace(
                 serial_cfg, compute_prior_loss=True
             )
-        self.window_solver = make_window_solver(serial_cfg)
+        if cfg.solver.scan_levels and not (
+            serial_cfg.collect_intermediate or serial_cfg.progress_heartbeat
+        ):
+            from eincm_tpu.models.pyramid_scan import make_window_solver_scan
+
+            self.window_solver = make_window_solver_scan(serial_cfg)
+        else:
+            if cfg.solver.scan_levels:
+                log(
+                    "solver.scan_levels ignored: collect_intermediate / "
+                    "progress_heartbeat need the per-level build"
+                )
+            self.window_solver = make_window_solver(serial_cfg)
 
         self.out_dir = Path(cfg.output_dir) / cfg.experiment_name
         self.ckpt_dir = self.out_dir / "checkpoints"
@@ -495,13 +507,22 @@ class EINCMExperiment:
 
             # the wolfe second opinion keeps its validated bracket+zoom
             # budget even under the leaner armijo probe cap (ls_evals_ab.py)
-            self._rescue_solver = make_window_solver(
-                dataclasses.replace(
-                    self.solver_cfg,
-                    line_search="wolfe",
-                    max_ls_evals=max(10, self.solver_cfg.max_ls_evals),
-                )
+            rescue_cfg = dataclasses.replace(
+                self.solver_cfg,
+                line_search="wolfe",
+                max_ls_evals=max(10, self.solver_cfg.max_ls_evals),
             )
+            if self.cfg.solver.scan_levels and not (
+                rescue_cfg.collect_intermediate
+                or rescue_cfg.progress_heartbeat
+            ):
+                from eincm_tpu.models.pyramid_scan import (
+                    make_window_solver_scan,
+                )
+
+                self._rescue_solver = make_window_solver_scan(rescue_cfg)
+            else:
+                self._rescue_solver = make_window_solver(rescue_cfg)
         wolfe_res = self._solve_one(self._rescue_solver, staged, prior, False)
         f_a = float(armijo_res.theta_opt_states[0].fun_val)
         f_w = float(wolfe_res.theta_opt_states[0].fun_val)
@@ -707,7 +728,7 @@ class EINCMExperiment:
                 "phases.parallel_eval requires dataset.des_n_events (eval "
                 "event windows must pad to one fixed length to stack/shard)"
             )
-        pad_e = max(8192, -(-int(des) // 8192) * 8192)
+        base_pad_e = max(8192, -(-int(des) // 8192) * 8192)
 
         from eincm_tpu.data.prefetch import StagingPrefetcher
 
@@ -721,14 +742,16 @@ class EINCMExperiment:
             staged_list = staged_list + [staged_list[-1]] * (b_pad - b)
             rep_idxs = idxs + [idxs[-1]] * (b_pad - b)
 
+            # eval_events are boundary-sliced from the raw stream and NOT
+            # capped by des_n_events, so a busy window can exceed the
+            # des-derived capacity; grow to the chunk max in 8192 buckets
+            # (one retrace per new bucket, bounded by the busiest window)
+            chunk_max = max(len(s.eval_events["x"]) for s in staged_list)
+            pad_e = max(base_pad_e, -(-chunk_max // 8192) * 8192)
+
             def padded_events(s):
                 ev = s.eval_events
                 e = len(ev["x"])
-                if e > pad_e:
-                    raise ValueError(
-                        f"eval window has {e} events > padded capacity "
-                        f"{pad_e} (des_n_events={des})"
-                    )
                 out = np.full((3, pad_e), np.nan, np.float32)
                 out[0, :e] = ev["x"]
                 out[1, :e] = ev["y"]
@@ -754,6 +777,11 @@ class EINCMExperiment:
                 [np.asarray(s.window.edge_ts) for s in staged_list]
             )
             has_gt = staged_list[0].gt_flow is not None
+            if any((s.gt_flow is not None) != has_gt for s in staged_list):
+                raise ValueError(
+                    "parallel_eval chunk mixes windows with and without "
+                    "gt_flow; GT presence must be uniform per sequence"
+                )
             gt = (
                 np.stack(
                     [
@@ -943,6 +971,25 @@ class EINCMExperiment:
             staged = self.stage(dl[idx])
             theta_full = self._final_theta_full(idx)
             plotter.plot_end_results(idx, staged, theta_full)
+
+            # handover diagnostic at the finest level (reference
+            # plotters.py:448-473): solved / prior / blended theta with the
+            # solved weight. First windows skip handover (final == pre).
+            fin = self.opt_results[key]["solver_final_results"]
+            w0 = float(
+                np.asarray(fin["final_handover_weight_pyr"]["pyr_lvl_0"])
+            )
+            pre0 = np.asarray(fin["pre_handover_theta_pyr"]["pyr_lvl_0"])
+            post0 = np.asarray(fin["final_theta_pyr"]["pyr_lvl_0"])
+            if not np.array_equal(pre0, post0):
+                plotter.plot_handover(
+                    idx,
+                    pre0,
+                    np.asarray(fin["prior_theta_pyr"]["pyr_lvl_0"]),
+                    post0,
+                    alpha_ho=w0,
+                    pyr=0,
+                )
 
             # per-step figures from recorded iterates (reference
             # plotters.py:493-645, driven here by the on-device history)

@@ -95,6 +95,47 @@ def event_flow_image_blend(
     return out
 
 
+def blend_image_events_and_gt_flow(
+    image: np.ndarray,
+    xs,
+    ys,
+    gt_flow: np.ndarray,
+    triple_blend: bool = False,
+) -> np.ndarray:
+    """Red events over the GT-flow color image, blended onto the grayscale
+    frame (reference: plotters.py:250-286 `blend_image_events_and_gt_flow`).
+
+    With `triple_blend`, the event/GT composite is additionally alpha-blended
+    (0.8) back onto the pure GT-flow image before the final 0.35 image blend —
+    the reference's `triple_blend=True` path.
+    """
+    a = np.asarray(image, np.float64)
+    a = (a - a.min()) / (a.max() - a.min() + 1e-12) * 255
+    img3 = np.stack([a] * 3, axis=-1).astype(np.uint8)
+
+    gt_flow_img = flow_uv_to_img(np.asarray(gt_flow))
+
+    sensor = img3.shape[:2]
+    ev_mask = _event_mask_np(xs, ys, sensor)
+    # normalized event counts as the red channel (reference builds a red
+    # event frame from the normalized accumulation)
+    counts = np.zeros(sensor, np.float64)
+    xi = np.round(np.asarray(xs, np.float64))
+    yi = np.round(np.asarray(ys, np.float64))
+    ok = np.isfinite(xi) & np.isfinite(yi)
+    ok &= (xi >= 0) & (xi < sensor[1]) & (yi >= 0) & (yi < sensor[0])
+    np.add.at(counts, (yi[ok].astype(int), xi[ok].astype(int)), 1.0)
+    norm = counts / (counts.max() + 1e-12) * 255
+    red_ev = np.zeros_like(img3)
+    red_ev[..., 0] = norm.astype(np.uint8)
+
+    evt_gt = np.where(ev_mask[..., None], red_ev, gt_flow_img)
+    evt_gt = embed_flow_code_in_img(evt_gt)
+    if triple_blend:
+        evt_gt = blend_two_imgs(evt_gt, gt_flow_img, 0.8)
+    return blend_two_imgs(img3, evt_gt, 0.35)
+
+
 class EINCMExperimentPlotter:
     def __init__(self, cfg, plot_dir):
         self.cfg = cfg
@@ -462,6 +503,41 @@ class EINCMExperimentPlotter:
 
         fig.tight_layout()
         path = self.plot_dir / f"step_result_{idx:06d}_pyr{pyr}_itr{itr}.png"
+        fig.savefig(path, dpi=100, bbox_inches="tight")
+        plt.close(fig)
+        return path
+
+    def plot_handover(
+        self,
+        idx: int,
+        theta: np.ndarray,
+        prior_theta: np.ndarray,
+        post_handover_theta: np.ndarray,
+        alpha_ho: float = 0.0,
+        pyr: int = 0,
+    ) -> Path:
+        """Handover diagnostic: solved theta / prior theta / blended theta
+        side by side as flow images, solved weight annotated
+        (reference: plotters.py:448-473 `plot_handover`)."""
+        fig, axs = plt.subplots(1, 3, figsize=(16, 5))
+        fig.suptitle(
+            f"Handover at pyr {pyr} [idx={idx}, "
+            f"alpha_handover={float(alpha_ho):4.2f}]"
+        )
+        for ax, th, title in (
+            (axs[0], theta, "Pre-Handover Theta"),
+            (axs[1], prior_theta, "Prior (Preceding) Theta"),
+            (
+                axs[2],
+                post_handover_theta,
+                f"Post-Handover Theta (w={float(alpha_ho):4.2f})",
+            ),
+        ):
+            ax.imshow(flow_uv_to_img(np.asarray(th)))
+            ax.set_title(title)
+            ax.axis("off")
+        fig.tight_layout()
+        path = self.plot_dir / f"handover_{idx:06d}_pyr{pyr}.png"
         fig.savefig(path, dpi=100, bbox_inches="tight")
         plt.close(fig)
         return path

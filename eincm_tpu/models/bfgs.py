@@ -364,7 +364,10 @@ def minimize_bfgs(
             window are this failure detection). Status 4 is terminal: it is
             never retried. None (default) preserves exact reference
             semantics (src/eincm/solver.py:218-239 retry behavior).
-        ftol_patience: consecutive below-floor iterations required.
+        ftol_patience: consecutive below-floor iterations required. Clamped
+            to >= 2: at patience 1 an isolated line-search exhaustion would
+            become terminal status 4 immediately, skipping the status-2
+            Hessian-reset retry the docstring above guarantees.
 
     Returns:
         BFGSResult, with BFGSHistory appended when record_history and the
@@ -373,6 +376,7 @@ def minimize_bfgs(
     assert line_search in ("wolfe", "armijo")
     if line_search == "armijo":
         assert fun is not None, "'armijo' needs the value-only objective"
+    ftol_patience = max(int(ftol_patience), 2)
     dtype = x0.dtype
     d = x0.shape[0]
     eye = jnp.eye(d, dtype=dtype)

@@ -306,6 +306,69 @@ def loss_func(
     return loss, aux
 
 
+def _solver_loss_tail(
+    warped_xs: jax.Array,
+    warped_ys: jax.Array,
+    edges: jax.Array,
+    params: LossParams,
+    window_statics: WindowStatics,
+    sensor_size: Tuple[int, int],
+) -> jax.Array:
+    """Shared level-shape-independent part of the lean loss: splat the
+    (n_refs, E) warped events and combine contrast/correlation(/divergence).
+
+    Factored out so `solver_loss` (static level) and `solver_loss_dyn`
+    (traced level) are the same math by construction — this is also the
+    expensive subgraph, which the scan-over-levels solver traces ONCE
+    instead of once per pyramid level.
+    """
+    dtype = warped_xs.dtype
+    epsn = jnp.asarray(EPSN, dtype)
+    w = jnp.asarray(
+        compute_weights_for_multi_reference(n_refs=edges.shape[0]), dtype
+    )
+
+    iwes = splat_multi_ref(warped_xs, warped_ys, sensor_size)
+    normalized_iwes = jax.vmap(normalize_to_unit_range)(iwes)
+
+    corrs = -jax.vmap(compute_mean_squared_error)(edges, normalized_iwes)
+    contrasts = jax.vmap(compute_mean_gradient_magnitude)(iwes)
+
+    rel_corrs = (w * corrs) / (window_statics.zero_corrs + epsn)
+    rel_contrasts = (w * contrasts) / (window_statics.zero_contrast + epsn)
+    loss = params.alpha * (-rel_contrasts.mean()) + params.beta * (
+        -rel_corrs.mean()
+    )
+
+    if params.delta != 0.0:
+        divs = jax.vmap(iwe_divergence)(normalized_iwes)
+        rel_divs = (w * divs) / (window_statics.zero_iwe_divergence + epsn)
+        loss = loss + params.delta * rel_divs.mean()
+    return loss
+
+
+def _masked_tv(
+    scaled_theta: jax.Array, event_mask: jax.Array
+) -> jax.Array:
+    """Event-masked L1 total variation (reference regularizers.py:14-38)."""
+    dtype = scaled_theta.dtype
+    epsn = jnp.asarray(EPSN, dtype)
+    flow = scaled_theta * event_mask[..., None].astype(dtype)
+    gx = scharr_grads(flow[..., 0])
+    gy = scharr_grads(flow[..., 1])
+    nz = (
+        (jnp.abs(gx[..., 0]) > 0)
+        | (jnp.abs(gx[..., 1]) > 0)
+        | (jnp.abs(gy[..., 0]) > 0)
+        | (jnp.abs(gy[..., 1]) > 0)
+    )
+    l1 = 0.25 * (
+        jnp.abs(gx[..., 0]) + jnp.abs(gx[..., 1])
+        + jnp.abs(gy[..., 0]) + jnp.abs(gy[..., 1])
+    )
+    return l1.sum() / (nz.sum() + epsn)
+
+
 def solver_loss(
     theta: jax.Array,
     xs: jax.Array,
@@ -330,13 +393,8 @@ def solver_loss(
     The reference evaluates the full bundle on every BFGS iteration
     (src/eincm/losses.py:49-105); the objective value is identical.
     """
-    dtype = theta.dtype
-    epsn = jnp.asarray(EPSN, dtype)
     sensor_size = statics.sensor_size
     xs, ys, ts = _sanitize_events(xs, ys, ts)
-    w = jnp.asarray(
-        compute_weights_for_multi_reference(n_refs=edges.shape[0]), dtype
-    )
 
     if statics.scale_to_sensor_size_method == "bilinear":
         warped_xs, warped_ys = warp_events_multi_ref_coarse(
@@ -350,42 +408,101 @@ def solver_loss(
             scaled, xs, ys, ts, edge_ts, 1.0
         )
 
-    iwes = splat_multi_ref(warped_xs, warped_ys, sensor_size)
-    normalized_iwes = jax.vmap(normalize_to_unit_range)(iwes)
-
-    corrs = -jax.vmap(compute_mean_squared_error)(edges, normalized_iwes)
-    contrasts = jax.vmap(compute_mean_gradient_magnitude)(iwes)
-
-    rel_corrs = (w * corrs) / (window_statics.zero_corrs + epsn)
-    rel_contrasts = (w * contrasts) / (window_statics.zero_contrast + epsn)
-    loss = params.alpha * (-rel_contrasts.mean()) + params.beta * (
-        -rel_corrs.mean()
+    loss = _solver_loss_tail(
+        warped_xs, warped_ys, edges, params, window_statics, sensor_size
     )
-
-    if params.delta != 0.0:
-        divs = jax.vmap(iwe_divergence)(normalized_iwes)
-        rel_divs = (w * divs) / (window_statics.zero_iwe_divergence + epsn)
-        loss = loss + params.delta * rel_divs.mean()
 
     if params.gamma != 0.0 and cur_pyr_lvl <= 0:
         scaled = scale_theta_to_sensor_size(
             theta, sensor_size, statics.scale_to_sensor_size_method
         )
-        flow = scaled * window_statics.event_mask[..., None].astype(dtype)
-        gx = scharr_grads(flow[..., 0])
-        gy = scharr_grads(flow[..., 1])
-        nz = (
-            (jnp.abs(gx[..., 0]) > 0)
-            | (jnp.abs(gx[..., 1]) > 0)
-            | (jnp.abs(gy[..., 0]) > 0)
-            | (jnp.abs(gy[..., 1]) > 0)
-        )
-        l1 = 0.25 * (
-            jnp.abs(gx[..., 0]) + jnp.abs(gx[..., 1])
-            + jnp.abs(gy[..., 0]) + jnp.abs(gy[..., 1])
-        )
-        tv = l1.sum() / (nz.sum() + epsn)
+        tv = _masked_tv(scaled, window_statics.event_mask)
         loss = loss + params.gamma * tv
+
+    return loss
+
+
+def solver_loss_dyn(
+    flat_theta_pad: jax.Array,
+    lvl: jax.Array,
+    xs: jax.Array,
+    ys: jax.Array,
+    ts: jax.Array,
+    edges: jax.Array,
+    edge_ts: jax.Array,
+    params: LossParams,
+    statics: LossStatics,
+    window_statics: WindowStatics,
+    level_shapes: Tuple[Tuple[int, int], ...],
+) -> jax.Array:
+    """`solver_loss` with a TRACED pyramid level over a padded flat theta.
+
+    The scan-over-levels solver's loss: `flat_theta_pad` is the finest
+    level's flat size with coarser levels' thetas in its prefix; `lvl`
+    selects, via `lax.switch`, a tiny per-level branch (slice + reshape +
+    coarse warp — the only level-shape-dependent ops), and everything
+    expensive (`_solver_loss_tail`) is traced once, shared by all levels.
+
+    Per-level numerics are identical to `solver_loss(theta_l, ...,
+    cur_pyr_lvl=l)`: the selected warp branch is the same computation, the
+    tail is the same function, and the TV term's level gate becomes an
+    exact multiply-by-zero at levels > 0 (reference gates TV to the finest
+    level, src/eincm/losses.py:171).
+    """
+    dtype = flat_theta_pad.dtype
+    sensor_size = statics.sensor_size
+    xs, ys, ts = _sanitize_events(xs, ys, ts)
+
+    def warp_branch(shape):
+        h, wd = shape
+        d = h * wd * 2
+
+        def br(flat, bxs, bys, bts):
+            theta = flat[:d].reshape(h, wd, 2)
+            if statics.scale_to_sensor_size_method == "bilinear":
+                return warp_events_multi_ref_coarse(
+                    theta, bxs, bys, bts, edge_ts, sensor_size
+                )
+            scaled = scale_theta_to_sensor_size(
+                theta, sensor_size, statics.scale_to_sensor_size_method
+            )
+            return warp_events_multi_ref(scaled, bxs, bys, bts, edge_ts, 1.0)
+
+        return br
+
+    warped_xs, warped_ys = jax.lax.switch(
+        lvl, [warp_branch(s) for s in level_shapes], flat_theta_pad, xs, ys, ts
+    )
+
+    loss = _solver_loss_tail(
+        warped_xs, warped_ys, edges, params, window_statics, sensor_size
+    )
+
+    if params.gamma != 0.0:
+
+        def scale_branch(shape):
+            h, wd = shape
+            d = h * wd * 2
+
+            def br(flat):
+                return scale_theta_to_sensor_size(
+                    flat[:d].reshape(h, wd, 2),
+                    sensor_size,
+                    statics.scale_to_sensor_size_method,
+                )
+
+            return br
+
+        scaled = jax.lax.switch(
+            lvl, [scale_branch(s) for s in level_shapes], flat_theta_pad
+        )
+        tv = _masked_tv(scaled, window_statics.event_mask)
+        gate = jnp.where(
+            lvl <= 0,
+            jnp.asarray(params.gamma, dtype),
+            jnp.asarray(0.0, dtype),
+        )
+        loss = loss + gate * tv
 
     return loss
 

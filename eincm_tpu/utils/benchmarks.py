@@ -164,6 +164,70 @@ def build_mvsec_solve_bench(
     return one_round, res
 
 
+def build_parallel_solve_bench(
+    n_windows: int = 8,
+    rotate_deg: float = 15.0,
+    solver_overrides: dict | None = None,
+):
+    """8-window batched solve through the DP path
+    (`parallel/batch.py:solve_window_batch_sharded`) on a mesh over ALL
+    local devices — the driver's single TPU chip runs an 8-per-device
+    `lax.map` schedule (measuring the batched-dispatch solve the parallel
+    phases actually execute); with more chips the same call shards.
+
+    Windows reuse the MVSEC solve-bench staging (rotating GT velocity) and
+    solve WITHOUT a prior chain (`is_first=True`) — the DP schedule's
+    pass-1 regime. Returns ``one_round() -> seconds per window``.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from eincm_tpu.models.loss import LossParams
+    from eincm_tpu.models.pyramid import HandoverSettings, SolverConfig
+    from eincm_tpu.ops.splat import set_splat_impl
+    from eincm_tpu.parallel.batch import (
+        make_window_mesh,
+        solve_window_batch_sharded,
+    )
+
+    set_splat_impl("pallas_banded")
+    staged, _ = stage_mvsec_windows(n_windows, rotate_deg)
+    batch = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *staged
+    )
+
+    n_dev = len(jax.devices())
+    while n_windows % n_dev:
+        n_dev -= 1
+    mesh = make_window_mesh(n_dev)
+
+    cfg_kwargs = dict(
+        n_pyr_lvls=5,
+        sensor_size=(MVSEC_H, MVSEC_W),
+        params=LossParams(alpha=20.0, beta=35.0, gamma=0.0, delta=0.0),
+        theta_opt_maxiters=(40, 33, 25, 18, 10),
+        theta_gtol=1e-4,
+        n_extra_attempts={0: 1, 1: 1},
+        handover=HandoverSettings(
+            use_handover=True, solve_handover_for_levels=(0,)
+        ),
+    )
+    cfg_kwargs.update(solver_overrides or {})
+    cfg = SolverConfig(**cfg_kwargs)
+
+    # compile + first sync (the relay does not honor block_until_ready)
+    res = solve_window_batch_sharded(cfg, batch, mesh, is_first=True)
+    float(res.final_theta_pyr[0].sum())
+
+    def one_round() -> float:
+        t0 = time.perf_counter()
+        r = solve_window_batch_sharded(cfg, batch, mesh, is_first=True)
+        float(r.final_theta_pyr[0].sum())
+        return (time.perf_counter() - t0) / n_windows
+
+    return one_round, res
+
+
 DSEC_H, DSEC_W = 480, 640
 DSEC_N_EVENTS = 1_500_000
 DSEC_N_REFS = 2

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from eincm_tpu.ops import splat as tpu_splat
-from eincm_tpu.ops.splat_fused import (
+from eincm_tpu.experimental.splat_fused import (
     fused_warp_splat_frame,
     fully_fused_warp_splat_frame,
 )

@@ -78,7 +78,14 @@ def make_mvsec_tree(root, seed=0, sequence="outdoor_day2", polarity="01",
     return root
 
 
-def make_dsec_tree(root, seed=1, geometry="identity"):
+def make_dsec_tree(
+    root,
+    seed=1,
+    geometry="identity",
+    sensor=(480, 640),
+    n_ev=30000,
+    n_eval_windows=2,
+):
     """Minimal DSEC train-split tree.
 
     geometry="identity" (default): identity rectify map and calibration.
@@ -87,6 +94,9 @@ def make_dsec_tree(root, seed=1, geometry="identity"):
     dsec_loader.py:158-167), real distortion coefficients, and a slightly
     rotated/translated camera chain (non-identity homography mapping).
 
+    sensor/n_ev/n_eval_windows (<= 3) scale the tree — the quarter-DSEC CLI
+    test uses (240, 320) with 200k events.
+
     Returns (root, sequence_name)."""
     import h5py
     import yaml
@@ -94,6 +104,7 @@ def make_dsec_tree(root, seed=1, geometry="identity"):
 
     from eincm_tpu.utils.png16 import write_png16
 
+    assert 1 <= n_eval_windows <= 3
     rng = np.random.default_rng(seed)
     seq = "mini_seq"
     ev_dir = root / f"Train/train_events/{seq}/events/left"
@@ -103,8 +114,7 @@ def make_dsec_tree(root, seed=1, geometry="identity"):
     for d in [ev_dir, img_dir / "left/rectified", cal_dir, flow_dir / "forward"]:
         d.mkdir(parents=True)
 
-    H, W = 480, 640
-    n_ev = 30000
+    H, W = sensor
     t_offset = 1_000_000
     ts = np.sort(rng.integers(0, 300_000, n_ev)).astype(np.int64)
     xs = rng.integers(0, W, n_ev).astype(np.uint16)
@@ -154,8 +164,8 @@ def make_dsec_tree(root, seed=1, geometry="identity"):
         dist = [0.0, 0.0, 0.0, 0.0]
         R_rect0 = R_rect1 = np.eye(3)
         T_10 = np.eye(4)
-        cam0_K = [400.0, 400.0, 320.0, 240.0]
-        camr1_K = [400.0, 400.0, 320.0, 240.0]
+        cam0_K = [400.0, 400.0, W / 2.0, H / 2.0]
+        camr1_K = [400.0, 400.0, W / 2.0, H / 2.0]
 
     cam = {
         "intrinsics": {
@@ -163,7 +173,7 @@ def make_dsec_tree(root, seed=1, geometry="identity"):
                 "camera_matrix": cam0_K,
                 "distortion_coeffs": dist,
             },
-            "camRect0": {"camera_matrix": [400.0, 400.0, 320.0, 240.0]},
+            "camRect0": {"camera_matrix": [400.0, 400.0, W / 2.0, H / 2.0]},
             "camRect1": {"camera_matrix": camr1_K},
         },
         "extrinsics": {
@@ -190,11 +200,11 @@ def make_dsec_tree(root, seed=1, geometry="identity"):
             rng.integers(0, 255, (H, W)).astype(np.uint8)
         ).save(img_dir / "left/rectified" / f"{i:06d}.png")
 
-    # two eval windows with GT flow PNGs
+    # n_eval_windows eval windows with GT flow PNGs (100 ms each)
     eval_rows = np.array(
         [
-            [t_offset, t_offset + 100_000],
-            [t_offset + 100_000, t_offset + 200_000],
+            [t_offset + 100_000 * i, t_offset + 100_000 * (i + 1)]
+            for i in range(n_eval_windows)
         ],
         np.int64,
     )
@@ -202,7 +212,7 @@ def make_dsec_tree(root, seed=1, geometry="identity"):
         f.write("# from, to\n")
         for r in eval_rows:
             f.write(f"{r[0]},{r[1]}\n")
-    for i in range(2):
+    for i in range(n_eval_windows):
         enc = np.zeros((H, W, 3), np.uint16)
         enc[..., 0] = int(2.0 * 128 + 2**15)  # flow_x = 2.0
         enc[..., 1] = int(-1.0 * 128 + 2**15)  # flow_y = -1.0

@@ -119,6 +119,31 @@ class TestFtolStop:
         # same quality: both end at the same quantized floor value
         assert float(res.fun_val) == float(base.fun_val)
 
+    def test_patience_1_clamped_to_2(self):
+        # advisor r4: at patience 1 an ISOLATED line-search exhaustion
+        # (n_small == 0) would immediately declare status 4 and skip the
+        # Hessian-reset retry the docstring guarantees. The clamp makes
+        # patience=1 behave exactly like patience=2.
+        q = 0.25
+
+        def f(x):
+            return jnp.round(jnp.sum((x - 1.0) ** 2) / q) * q
+
+        def fg(x):
+            return f(x), 2.0 * (x - 1.0)
+
+        x0 = jnp.array([5.0, -4.0])
+        kw = dict(
+            maxiter=40, gtol=1e-10, line_search="armijo", fun=f,
+            max_ls_evals=6, n_extra_attempts=2, ftol=1e-9,
+        )
+        p1 = minimize_bfgs(fg, x0, ftol_patience=1, **kw)
+        p2 = minimize_bfgs(fg, x0, ftol_patience=2, **kw)
+        assert int(p1.status) == int(p2.status) == 4
+        assert int(p1.n_attempts) == int(p2.n_attempts)
+        assert int(p1.n_fun_evals) == int(p2.n_fun_evals)
+        np.testing.assert_array_equal(np.asarray(p1.x), np.asarray(p2.x))
+
 
 def test_high_dim_quadratic():
     rng = np.random.default_rng(0)

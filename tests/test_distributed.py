@@ -23,10 +23,9 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_sharded_solve():
+def _run_sharded_solve(n_proc: int):
     port = _free_port()
     coord = f"127.0.0.1:{port}"
-    n_proc = 2
     worker = os.path.join(os.path.dirname(__file__), "distributed_worker.py")
 
     env = dict(os.environ)
@@ -63,7 +62,18 @@ def test_two_process_sharded_solve():
         assert p.returncode == 0, f"worker failed:\n{err[-4000:]}"
 
     result = json.loads(outs[0][0].strip().splitlines()[-1])
-    assert result["n_processes"] == 2
-    assert result["n_devices"] == 4
+    assert result["n_processes"] == n_proc
+    assert result["n_devices"] == 2 * n_proc
     assert result["local_devices"] == 2
     assert result["finite"]
+
+
+def test_two_process_sharded_solve():
+    _run_sharded_solve(2)
+
+
+@pytest.mark.slow
+def test_four_process_sharded_solve():
+    """4 processes x 2 virtual devices = 8-device global mesh (VERDICT r4
+    item 5) — the pod-slice shape of the multi-host execution model."""
+    _run_sharded_solve(4)

@@ -198,6 +198,11 @@ class TestExperimentRun:
         # per-step figures from the recorded level-0 iterates
         steps = list((exp.out_dir / "plots").glob("step_result_*.png"))
         assert len(steps) >= 3
+        # handover diagnostic (reference plotters.py:448-473): emitted for
+        # every window whose finest level actually blended with a prior
+        ho = list((exp.out_dir / "plots").glob("handover_*_pyr0.png"))
+        assert len(ho) >= 1
+        assert not (exp.out_dir / "plots" / "handover_000000_pyr0.png").exists()
         # MJPEG AVI assembled (reference's video format): check RIFF header
         avi = exp.out_dir / "plots" / "end_results.avi"
         assert avi.exists()
@@ -351,6 +356,35 @@ class TestPlotterExtras:
         )
         assert q.exists()
 
+        hp = p.plot_handover(
+            3,
+            rng.normal(0, 1, (16, 16, 2)),
+            rng.normal(0, 1, (16, 16, 2)),
+            rng.normal(0, 1, (16, 16, 2)),
+            alpha_ho=0.37,
+            pyr=0,
+        )
+        assert hp.exists() and hp.name == "handover_000003_pyr0.png"
+
+    def test_blend_image_events_and_gt_flow(self, rng):
+        from eincm_tpu.experiments.plotters import (
+            blend_image_events_and_gt_flow,
+        )
+
+        img = rng.uniform(0, 255, (24, 32))
+        xs = rng.uniform(0, 31, 200)
+        ys = rng.uniform(0, 23, 200)
+        gt = rng.normal(0, 2, (24, 32, 2))
+        pair = blend_image_events_and_gt_flow(img, xs, ys, gt)
+        trip = blend_image_events_and_gt_flow(img, xs, ys, gt, triple_blend=True)
+        assert pair.shape == (24, 32, 3) and pair.dtype == np.uint8
+        # the triple blend pulls the composite toward the GT-flow image, so
+        # the two paths must differ
+        assert not np.array_equal(pair, trip)
+        # NaN-padded events are dropped, not crashed on
+        xs[::3] = np.nan
+        blend_image_events_and_gt_flow(img, xs, ys, gt)
+
     def test_split_run_ranges(self, tmp_path):
         cfg = tiny_cfg(tmp_path)
         cfg.phases.run_idx_ranges = ((0, 1), (2, 3))
@@ -473,6 +507,34 @@ def test_parallel_eval_matches_serial(tmp_path):
     # artifacts written by the parallel path too
     assert (exp.out_dir / "eval_results.npz").exists()
     assert (exp.out_dir / "scores.txt").exists()
+
+
+def test_parallel_eval_pad_grows_beyond_des(tmp_path):
+    """eval_events are boundary-sliced from the raw stream, NOT capped by
+    des_n_events — a busy window can exceed the des-derived pad capacity
+    (advisor r4). The parallel path must grow its padding to the chunk max
+    instead of raising."""
+    cfg = tiny_cfg(tmp_path)
+    cfg.dataset.n_windows = 2
+    exp = EINCMExperiment(cfg)
+    exp.run_solver()
+
+    orig_stage = exp.stage
+    big_n = 8192 + 100  # past the minimum 8192 bucket for des=1024
+
+    def stage(sample):
+        s = orig_stage(sample)
+        ev = s.eval_events
+        reps = -(-big_n // len(ev["x"]))
+        big = {k: np.tile(np.asarray(v), reps)[:big_n] for k, v in ev.items()}
+        return s._replace(eval_events=big)
+
+    exp.stage = stage
+    exp.cfg.phases.parallel_eval = True
+    exp.run_eval()
+    assert len(exp.eval_results) == 2
+    for rec in exp.eval_results.values():
+        assert np.isfinite(float(np.asarray(rec["evals"]["AEE"])))
 
 
 def test_eval_intermediate_hook(tmp_path):

@@ -424,7 +424,7 @@ def test_fully_fused_band_bound_includes_rounded_row(rng):
     events at cy = *.6 splats into row round(cy)+hw, which the unrounded
     bound truncated away while still reporting ok=True (silently dropped
     boundary-row mass)."""
-    from eincm_tpu.ops.splat_fused import fully_fused_warp_splat_frame
+    from eincm_tpu.experimental.splat_fused import fully_fused_warp_splat_frame
 
     H, W = BSENSOR
     n = 512
