@@ -33,7 +33,16 @@ class SyntheticDataLoader:
         window_dt: float = 1.0,
         seed: int = 0,
         prefer_latest_events: bool = True,
+        shear: float = 0.0,
     ):
+        """`shear` adds a spatially-varying horizontal flow component:
+        vx(y) = velocity[0] + shear * (y - H/2), with vy forced to
+        velocity[1]. Exactness requires trajectories whose velocity never
+        changes, so shear demands velocity[1] == 0 (y constant along each
+        feature's path -> vx constant too); ground truth stays exact by
+        construction. Gives the solver a genuinely non-constant GT field
+        (a 16x16 theta pyramid can represent it) for accuracy studies.
+        """
         self.sensor_size = sensor_size
         self.height, self.width = sensor_size
         self.n_windows = n_windows
@@ -43,34 +52,62 @@ class SyntheticDataLoader:
         self.window_dt = window_dt
         self.seed = seed
         self.prefer_latest_events = prefer_latest_events
+        self.shear = float(shear)
+        if self.shear != 0.0 and self.velocity[1] != 0.0:
+            raise ValueError(
+                "shear mode requires velocity[1] == 0 (y must stay constant "
+                "along trajectories for the GT to be exact)"
+            )
         self.sequence_name = "synthetic"
         self.n_event_deficiency = 0
         self._ready = False
+
+    def _feature_velocities(self, feats: np.ndarray) -> np.ndarray:
+        """(N, 2) per-feature velocity; constant unless shear is set."""
+        v = np.broadcast_to(self.velocity, (len(feats), 2)).copy()
+        if self.shear:
+            v[:, 0] = v[:, 0] + self.shear * (feats[:, 1] - self.height / 2.0)
+        return v
 
     def get_ready(self):
         rng = np.random.default_rng(self.seed)
         h, w = self.sensor_size
         margin = 6
         span = self.n_windows * self.window_dt
-        # keep features in-sensor for the whole sequence
-        lo = margin + np.maximum(0.0, -self.velocity * span)
-        hi = (
-            np.array([w, h]) - margin - np.maximum(0.0, self.velocity * span)
-        )
+        # keep features in-sensor for the whole sequence. The no-shear
+        # branch must stay bitwise-identical to the original formula: every
+        # seeded fixture (bench workloads, parity harness, recorded bounds)
+        # depends on these exact spawn regions.
+        if self.shear == 0.0:
+            lo = margin + np.maximum(0.0, -self.velocity * span)
+            hi = (
+                np.array([w, h])
+                - margin
+                - np.maximum(0.0, self.velocity * span)
+            )
+        else:
+            # |vx| grows with distance from mid-height; bound symmetrically
+            # with the sensor-wide worst case
+            vx_extreme = abs(self.velocity[0]) + abs(self.shear) * h / 2.0
+            v_bound = np.array([vx_extreme, abs(self.velocity[1])])
+            lo = margin + v_bound * span
+            hi = np.array([w, h]) - margin - v_bound * span
         if not np.all(hi > lo):
             # rng.uniform(lo, hi) with hi < lo silently samples the inverted
             # interval -> off-sensor events under a clean reported GT field
             raise ValueError(
-                f"velocity {tuple(self.velocity)} x span {span} exceeds the "
-                f"{self.sensor_size} sensor; features cannot stay in-sensor "
-                "(reduce n_windows/window_dt/|velocity| or grow the sensor)"
+                f"velocity {tuple(self.velocity)} (shear {self.shear}) x "
+                f"span {span} exceeds the {self.sensor_size} sensor; "
+                "features cannot stay in-sensor (reduce n_windows/window_dt/"
+                "|velocity| or grow the sensor)"
             )
         self._features = rng.uniform(lo, hi, size=(self.n_features, 2))
+        self._feat_vel = self._feature_velocities(self._features)
 
         n_total = self.des_n_events * self.n_windows
         ts = np.sort(rng.uniform(0.0, span, n_total))
         which = rng.integers(0, self.n_features, n_total)
-        xy = self._features[which] + self.velocity[None, :] * ts[:, None]
+        xy = self._features[which] + self._feat_vel[which] * ts[:, None]
         self._events = {
             "x": np.round(xy[:, 0]).astype(np.int16),
             "y": np.round(xy[:, 1]).astype(np.int16),
@@ -84,7 +121,7 @@ class SyntheticDataLoader:
         """Grayscale frame: bright dots at feature positions at time t."""
         h, w = self.sensor_size
         img = np.zeros((h, w), np.uint8)
-        pos = self._features + self.velocity[None, :] * t
+        pos = self._features + self._feat_vel * t
         xi = np.clip(np.round(pos[:, 0]).astype(int), 1, w - 2)
         yi = np.clip(np.round(pos[:, 1]).astype(int), 1, h - 2)
         for dx in (-1, 0, 1):
@@ -95,11 +132,15 @@ class SyntheticDataLoader:
         return img
 
     def gt_flow_field(self) -> np.ndarray:
-        """Exact per-pixel displacement over one window (constant field)."""
+        """Exact per-pixel displacement over one window (constant unless
+        shear is set, in which case vx varies linearly with y)."""
         h, w = self.sensor_size
         flow = np.zeros((h, w, 2))
         flow[..., 0] = self.velocity[0] * self.window_dt
         flow[..., 1] = self.velocity[1] * self.window_dt
+        if self.shear:
+            ys = np.arange(h, dtype=np.float64) - h / 2.0
+            flow[..., 0] += (self.shear * ys * self.window_dt)[:, None]
         return flow
 
     def get_sample(self, eval_idx: int) -> Dict:

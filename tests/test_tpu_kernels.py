@@ -175,3 +175,50 @@ def test_banded_fallback_unsorted(events):
     a = np.asarray(events_to_pdf_frame_pallas_banded(wx[perm], wy[perm], sensor))
     b = np.asarray(events_to_pdf_frame_scatter(wx, wy, sensor))
     assert np.abs(a - b).max() / np.abs(b).max() < 5e-3
+
+
+def test_scan_solver_equivalence_on_tpu():
+    """Scan-over-levels vs per-level build on the REAL TPU: bit-exact.
+
+    TPU vector lanes pad every reduction to the same tree shape, so the
+    padded-BFGS arithmetic matches the per-level build exactly (measured
+    zero delta across 9 chained windows x 3 configs in round 5); on CPU the
+    same comparison drifts at ULP level (see tests/test_pyramid_scan.py).
+    A small tolerance guards against future lane-layout changes.
+    """
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from test_pyramid_scan import _cfg, _window
+
+    from eincm_tpu.models.pyramid import HandoverSettings, solve_window
+    from eincm_tpu.models.pyramid_scan import solve_window_scan
+
+    cfg = _cfg(
+        handover=HandoverSettings(
+            solve_handover_for_levels=(0, 1), handover_grid_probes=5
+        ),
+        compute_prior_loss=True,
+    )
+    prior_a = prior_b = cfg.zero_pyramid()
+    for i in range(3):
+        w = _window(seed=i, velocity=(2.0 + 0.3 * i, -1.0))
+        a = solve_window(cfg, w, prior_a, is_first_sample=(i == 0))
+        b = solve_window_scan(cfg, w, prior_b, is_first_sample=(i == 0))
+        for lvl in range(cfg.n_pyr_lvls):
+            d = float(
+                np.max(
+                    np.abs(
+                        np.asarray(a.final_theta_pyr[lvl])
+                        - np.asarray(b.final_theta_pyr[lvl])
+                    )
+                )
+            )
+            assert d <= 1e-6, (i, lvl, d)
+            sa, sb = a.theta_opt_states[lvl], b.theta_opt_states[lvl]
+            assert int(sa.total_iters) == int(sb.total_iters), (i, lvl)
+            assert int(sa.status) == int(sb.status), (i, lvl)
+        for wa, wb in zip(a.final_handover_weights, b.final_handover_weights):
+            assert abs(float(wa) - float(wb)) <= 1e-6
+        prior_a, prior_b = a.final_theta_pyr, b.final_theta_pyr
