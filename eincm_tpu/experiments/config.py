@@ -38,6 +38,8 @@ class DatasetConfig:
     # synthetic-only
     n_windows: int = 4
     velocity: Tuple[float, float] = (3.0, -2.0)
+    seed: int = 0
+    shear: float = 0.0  # vx(y) slope; requires velocity[1] == 0
 
     def make_loader(self):
         if self.kind == "synthetic":
@@ -49,6 +51,8 @@ class DatasetConfig:
                 des_n_events=self.des_n_events,
                 velocity=tuple(self.velocity),
                 prefer_latest_events=self.prefer_latest_events,
+                seed=self.seed,
+                shear=self.shear,
             )
         if self.kind == "ecd":
             from eincm_tpu.data.ecd import ECDDataLoader
