@@ -193,12 +193,15 @@ class SolverSettings:
     # f32 h,w<=128 only, falls back to 'xla' otherwise) | 'xla'
     interp_impl: str = "pallas"
     # scan-over-levels shared-trace solver (models/pyramid_scan.py): ONE
-    # traced level body instead of one per pyramid level — built to cut the
-    # DSEC-scale 20-30 min cold compile (docs/ARCHITECTURE.md). Trajectory-
-    # equivalent to the per-level build (tests/test_pyramid_scan.py).
-    # Ignored (with a log line) when collect_intermediate or
-    # progress_heartbeat require the per-level build.
-    scan_levels: bool = False
+    # traced level body instead of one per pyramid level. DEFAULT ON after
+    # the round-5 paired A/B (scripts/scan_solver_ab.py, real TPU):
+    # 2.6-2.7x faster cold compile at both MVSEC and DSEC scale (DSEC
+    # 195/240 s vs 509/635 s per variant), steady-state chain latency
+    # within relay noise, and 10-window chained AEEs BIT-EXACT vs the
+    # per-level build on the TPU. Ignored (with a log line) when
+    # collect_intermediate or progress_heartbeat require the per-level
+    # build; set false to force the per-level build.
+    scan_levels: bool = True
 
     def growing_maxiters(self, miniter: int, maxiter: int) -> Tuple[int, ...]:
         """Per-level iteration budgets: more at coarse... actually more at the
