@@ -155,11 +155,18 @@ class SolverSettings:
     # quadratic-interpolated backtracking for 'armijo' (scipy
     # scalar_search_armijo); off pending on-hardware A/B validation
     armijo_interpolate: bool = False
-    # opt-in noise-floor termination: end a level after theta_ftol_patience
+    # noise-floor termination: end a level after theta_ftol_patience
     # consecutive iterations with relative loss improvement <= theta_ftol
     # (skips the exhausted probes + retry re-run that otherwise detect the
-    # f32 noise floor). None = reference retry semantics. See PARITY.md.
-    theta_ftol: Optional[float] = None
+    # f32 noise floor). DEFAULT 1e-5 since round 5: validated on 3 DSEC-
+    # scale GT regimes (constant/rotating/shear, 8-window chains, real
+    # TPU) — AEE neutral-to-better in every regime with -12..17% chain
+    # latency (scripts/ftol_dsec_study.py, PARITY.md), on top of the
+    # round-4 MVSEC/DSEC p50 A/B. None restores exact reference retry
+    # semantics (src/eincm/solver.py:218-239); the library-level
+    # SolverConfig default stays None so parity harnesses and direct
+    # constructions keep reference behavior unless opted in.
+    theta_ftol: Optional[float] = 1e-5
     theta_ftol_patience: int = 2
     # tail safeguard for the armijo default (serial solve path): when a
     # window's level-0 optimum ends worse than simply keeping the prior

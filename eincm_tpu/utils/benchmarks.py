@@ -137,6 +137,10 @@ def build_mvsec_solve_bench(
         handover=HandoverSettings(
             use_handover=True, solve_handover_for_levels=(0,)
         ),
+        # the SHIPPED SolverSettings default (round-5 ftol study); the
+        # driver bench measures what users get. Override with
+        # {"theta_ftol": None} for reference-retry-semantics A/Bs.
+        theta_ftol=1e-5,
     )
     cfg_kwargs.update(solver_overrides or {})
     cfg = SolverConfig(**cfg_kwargs)
@@ -211,6 +215,7 @@ def build_parallel_solve_bench(
         handover=HandoverSettings(
             use_handover=True, solve_handover_for_levels=(0,)
         ),
+        theta_ftol=1e-5,  # shipped default (round-5 ftol study)
     )
     cfg_kwargs.update(solver_overrides or {})
     cfg = SolverConfig(**cfg_kwargs)
@@ -298,6 +303,9 @@ def build_dsec_solve_bench(
         handover=HandoverSettings(
             use_handover=True, solve_handover_for_levels=(0,)
         ),
+        # shipped default (round-5 ftol study); {"theta_ftol": None}
+        # restores reference retry semantics for parity A/Bs
+        theta_ftol=1e-5,
     )
     cfg_kwargs.update(solver_overrides or {})
     cfg = SolverConfig(**cfg_kwargs)
