@@ -74,7 +74,12 @@ class DSECDataLoader:
         data_split: str = "test",
         extended: bool = False,
         prefer_latest_events: bool = True,
+        sensor_size=(DSEC_HEIGHT, DSEC_WIDTH),
     ):
+        """`sensor_size` defaults to the real DSEC sensor (the reference
+        hardcodes it, dsec_loader.py:52-64); overriding it supports
+        scaled-down trees with the same layout (the quarter-DSEC CLI
+        regression test)."""
         self.root_dir = Path(root_dir)
         self.sequence_name = sequence_name
         self.des_n_events = des_n_events
@@ -83,9 +88,8 @@ class DSECDataLoader:
         self.prefer_latest_events = prefer_latest_events
         self.n_event_deficiency = 0
 
-        self.height = DSEC_HEIGHT
-        self.width = DSEC_WIDTH
-        self.sensor_size = (DSEC_HEIGHT, DSEC_WIDTH)
+        self.height, self.width = sensor_size
+        self.sensor_size = tuple(sensor_size)
 
         self.dataset = (
             _TestPaths(self.root_dir, sequence_name, extended)

@@ -75,6 +75,7 @@ class DatasetConfig:
             return DSECDataLoader(
                 self.root_dir, self.sequence_name, self.des_n_events,
                 self.data_split, self.extended, self.prefer_latest_events,
+                sensor_size=tuple(self.sensor_size),
             )
         raise ValueError(f"unknown dataset kind {self.kind!r}")
 
